@@ -1,0 +1,289 @@
+"""Deterministic synthetic fixtures (seed=42) per FIXTURES.md.
+
+No network, no external data. Two generation styles:
+
+- ``images``: per-row seeded numpy RNG inside ``mapInPandas`` — each row's
+  pixels depend only on its index, so the table is identical under any
+  partitioning or parallelism (local[8] == local[32] == a 1000-executor
+  cluster). This is the distributed-generation pattern used at bench scale.
+- ``frontier``/``url_seen``/``robots``: pure-Spark ``sequence`` + ``explode``
+  + ``xxhash64`` — fully JVM-side, scales to 10^10 rows by changing one int.
+- small corpora (posts, sport_events): driver-side pandas, few hundred rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .functions.images import encode_image, phash64
+
+SEED = 42
+BASE_TS = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+_WORDS = (
+    "press wire photo city river market council storm match festival bridge "
+    "harbor farm road health school court vote energy water trade art music "
+    "film sport game score team coach player league season final"
+).split()
+
+_W_CHOICES = [64, 160, 300, 640, 1280]
+_H_CHOICES = [48, 120, 200, 480, 720]
+
+
+def caption_for(i: int) -> str:
+    """Deterministic caption sentence for image i (pure function of i)."""
+    rng = np.random.default_rng(SEED + i)
+    words = [_WORDS[j] for j in rng.integers(0, len(_WORDS), size=6)]
+    return f"img{i:08d}: " + " ".join(words) + "."
+
+
+def pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels: gradient base + seeded noise. Every ~13th image
+    is near-flat (fails the BRISQUE-style naturalness gate on purpose)."""
+    rng = np.random.default_rng(SEED + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 128) // max(h - 1, 1)) % 256
+    if i % 13 == 0:
+        noise = rng.integers(0, 2, size=(h, w, 3))
+        img = (np.full((h, w, 3), 128) + noise) % 256
+    else:
+        noise = rng.integers(0, 64, size=(h, w, 3))
+        img = (base[..., None] + noise) % 256
+    return img.astype(np.uint8)
+
+
+def dims_for(i: int) -> tuple[int, int, str]:
+    rng = np.random.default_rng(SEED * 7 + i)
+    w = _W_CHOICES[int(rng.integers(0, len(_W_CHOICES)))]
+    h = _H_CHOICES[int(rng.integers(0, len(_H_CHOICES)))]
+    fmt = "png" if rng.integers(0, 2) == 0 else "jpeg"
+    return w, h, fmt
+
+
+def make_image_row(i: int) -> dict:
+    w, h, fmt = dims_for(i)
+    px = pixels_for(i, w, h)
+    return {
+        "image_id": f"img-{i:08d}",
+        "bytes": encode_image(px, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption_for(i),
+        "phash": phash64(px),
+    }
+
+
+def images_table(spark: SparkSession, n: int = 2000) -> DataFrame:
+    """Distributed deterministic image generation (mapInPandas over range)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_image_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n)
+        .repartition(max(spark.sparkContext.defaultParallelism, 4))
+        .mapInPandas(gen, schema=schemas.IMAGES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# frontier / url_seen / robots — pure-Spark generation (scales by one int)
+
+N_HOSTS = 200
+HOT_HOSTS = ("hot0.example.com", "hot1.example.com")
+
+
+def _host_expr(i):
+    """Deterministic host for row i: 2 hot hosts own ~40% of rows (skew)."""
+    return (
+        F.when(i % 5 == 0, F.lit(HOT_HOSTS[0]))
+        .when(i % 5 == 1, F.lit(HOT_HOSTS[1]))
+        .otherwise(F.concat(F.lit("h"), F.pmod(F.xxhash64(i), F.lit(N_HOSTS - 2)),
+                            F.lit(".example.com")))
+    )
+
+
+def frontier_table(spark: SparkSession, n: int = 2000, n_images: int = 2000) -> DataFrame:
+    """Synthetic frontier per FIXTURES.md §2 — all JVM-side.
+
+    url_surt/url_key here use the same formula the engine computes, so
+    golden-pair tests verify the pandas-UDF canonicalizer against them.
+    priority is a deterministic hash-derived double in [0,1); the first URL
+    of each host is a seed (priority 1.0, depth 0).
+    """
+    i = F.col("id")
+    host = _host_expr(i)
+    df = (
+        spark.range(n)
+        .withColumn("host", host)
+        .withColumn(
+            "path",
+            F.concat(
+                F.when(F.pmod(i, F.lit(17)) == 3, F.lit("/private/")).otherwise(F.lit("/p/")),
+                i.cast("string"),
+            ),
+        )
+        .withColumn("url", F.concat(F.lit("https://"), F.col("host"), F.col("path")))
+        .withColumn(
+            "is_seed",
+            F.row_number().over(Window.partitionBy("host").orderBy("id")) == 1,
+        )
+        .withColumn(
+            "url_surt",
+            F.concat(
+                F.array_join(F.reverse(F.split(F.col("host"), r"\.")), ","),
+                F.lit(")"),
+                F.col("path"),
+            ),
+        )
+        .withColumn("url_key", F.xxhash64("url_surt"))
+        .withColumn(
+            "priority",
+            F.when(F.col("is_seed"), F.lit(1.0)).otherwise(
+                F.pmod(F.xxhash64(F.col("url")), F.lit(1_000_000)) / 1_000_000.0
+            ),
+        )
+        .withColumn("depth", F.when(F.col("is_seed"), 0).otherwise(
+            (F.pmod(i, F.lit(5)) + 1).cast("int")))
+        .withColumn(
+            "discovered_ts",
+            (F.lit(BASE_TS.replace(tzinfo=None)) + F.make_interval(secs=i.cast("double"))),
+        )
+        .withColumn(
+            "image_id",
+            F.when(F.pmod(i, F.lit(7)) != 6,
+                   F.format_string("img-%08d", F.pmod(F.xxhash64(i + 1), F.lit(n_images)).cast("int")))
+        )
+        .withColumn("epoch_added", F.lit(0))
+    )
+    return df.select([f.name for f in schemas.FRONTIER.fields])
+
+
+def url_seen_table(spark: SparkSession, frontier: DataFrame, buckets: int = 64,
+                   fraction_mod: int = 10) -> DataFrame:
+    """Pre-populate ~1/fraction_mod of frontier keys as already-seen
+    (exercises the anti-join — reference seen-set semantics,
+    /root/reference/src/newsutils/pipelines.py:74-95)."""
+    return (
+        frontier.where(F.pmod(F.col("url_key"), F.lit(fraction_mod)) == 0)
+        .select(
+            "url_key",
+            "host",
+            F.lit(0).alias("first_seen_epoch"),
+            F.pmod(F.col("url_key"), F.lit(buckets)).cast("int").alias("bucket"),
+        )
+    )
+
+
+def robots_table(spark: SparkSession) -> DataFrame:
+    """Politeness config per host: delays {0,500,2000,60000}ms (the 60s
+    extreme mirrors the e-zine 1-req/60s budget), a few /private disallows."""
+    hosts = list(HOT_HOSTS) + [f"h{i}.example.com" for i in range(N_HOSTS - 2)]
+    delays = [0, 500, 2000, 60000]
+    rows = []
+    for idx, h in enumerate(hosts):
+        rng = np.random.default_rng(SEED * 3 + idx)
+        rows.append(
+            {
+                "host": h,
+                # hot hosts get 0 delay so skew tests stress throughput
+                "crawl_delay_ms": 0 if h in HOT_HOSTS else delays[int(rng.integers(0, 4))],
+                "disallow_prefixes": ["/private"] if idx % 11 == 0 else [],
+                "max_concurrency": 16,
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schemas.ROBOTS)
+
+
+# ---------------------------------------------------------------------------
+# posts corpus — exercises every reference pipeline branch (FIXTURES.md §5)
+
+def posts_batch(spark: SparkSession) -> DataFrame:
+    """A crawl batch with: in/out-of-window publish_times + nulls, duplicate
+    short_link triples (pristine / major-edit / minor-edit), topic clusters
+    for similarity, and pre-existing metapost rows."""
+    rows: list[dict] = []
+    day0 = BASE_TS.replace(tzinfo=None)
+
+    def mk(i: int, **over) -> dict:
+        short = over.pop("short_link", f"/post/{i}")
+        base = {
+            "post_id": i,
+            "country": "gn",
+            "link": f"https://paper{i % 3}.example.com{short}",
+            "short_link": short,
+            "link_hash": None,
+            "type": "default" if i % 4 else "featured",
+            "title": f"title {i} " + " ".join(_WORDS[(i * 3) % 20 : (i * 3) % 20 + 3]),
+            "text": " ".join(_WORDS[(i * 5) % 25 : (i * 5) % 25 + 6]) + f" body {i}",
+            "excerpt": "",
+            "publish_time": day0 + dt.timedelta(days=i % 5, hours=i % 23),
+            "modified_time": day0 + dt.timedelta(days=i % 5, hours=(i % 23) + 1),
+            "top_image": f"https://img.example.com/{i}.png",
+            "images": [f"https://img.example.com/{i}.png"],
+            "videos": [],
+            "keywords": [_WORDS[i % len(_WORDS)]],
+            "tags": [],
+            "authors": [{"name": f"author{i % 7}", "profile_image": None, "role": "writer"}],
+            "paper": {"brand": f"paper{i % 3}", "description": "d", "logo_url": None},
+            "version": 1,
+            "is_draft": bool(i % 9 == 0),
+            "is_scrap": False,
+            "category": None,
+            "caption": None,
+            "summary": None,
+            "siblings": [],
+            "related": [],
+            "created_ts": day0 + dt.timedelta(minutes=i),
+        }
+        base.update(over)
+        return base
+
+    for i in range(60):
+        rows.append(mk(i))
+    # out-of-window + null publish_time (FilterDate / validity branches)
+    rows.append(mk(100, publish_time=day0 - dt.timedelta(days=40)))
+    rows.append(mk(101, publish_time=None))
+    # pre-existing metapost rows (metapost filter branch)
+    rows.append(mk(102, type="metapost.default"))
+    rows.append(mk(103, type="metapost.featured"))
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schemas.POSTS)
+
+
+def sport_events_table(spark: SparkSession, n: int = 500) -> DataFrame:
+    """E-zine corpus: 4-part compound key, ~5% duplicate keys with changed
+    scores (upsert-overwrite check) — thesportsdb.py:633-695 semantics."""
+    sports = ["Soccer", "Basketball", "Rugby"]
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(SEED * 11 + i)
+        key_i = i if i % 20 != 19 else i - 1  # 5% duplicate compound keys
+        rows.append(
+            {
+                "event_pk": 0,
+                "idLeague": f"L{key_i % 9}",
+                "idHomeTeam": f"T{key_i % 37}",
+                "idAwayTeam": f"T{(key_i * 7) % 37}",
+                "idEvent": f"E{key_i}",
+                "strSport": sports[key_i % 3],
+                "strEvent": f"match {key_i}",
+                "intHomeScore": int(rng.integers(0, 6)),
+                "intAwayScore": int(rng.integers(0, 6)),
+                "dateEvent": (BASE_TS + dt.timedelta(days=key_i % 60)).date(),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=schemas.SPORT_EVENTS)
+    # deterministic id from the compound key (reference C8)
+    return df.withColumn(
+        "event_pk",
+        F.xxhash64(F.concat_ws("", "idLeague", "idHomeTeam", "idAwayTeam", "idEvent")),
+    )

@@ -1,0 +1,92 @@
+"""Frontier priority queue: per-host top-k pop with explicit skew handling.
+
+The reference delegates request ordering to Scrapy's scheduler (FIFO per
+priority). The engine's frontier is an OPIC-style priority table; one
+scheduling epoch pops the top-k URLs per host ordered by
+``(priority DESC, discovered_ts ASC, url_key ASC)`` — the deterministic
+crawl ordering both the engine and the test oracle implement (SURVEY §7
+"matching reference crawl ordering").
+
+Skew: a hot host (2 hosts own ~40% of the fixture frontier; real crawls are
+worse) would force one giant sort partition under a naive
+``row_number() OVER (PARTITION BY host)``. We do a two-phase tree top-k:
+
+  phase 1: partition by (host, salt = pmod(url_key, S)) → local top-k
+           (S× smaller sort partitions, map-side)
+  phase 2: global top-k per host over the ≤ S·k phase-1 survivors
+
+Phase 2's input is bounded by S·k·|hosts| regardless of frontier size, so
+the plan survives a 10^10-row frontier: the heavy data only ever sees the
+salted (uniform) shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def pop_order() -> list:
+    """Deterministic crawl order: (priority DESC, discovered_ts ASC, url_key ASC)."""
+    return [F.col("priority").desc(), F.col("discovered_ts").asc(), F.col("url_key").asc()]
+
+
+def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16) -> DataFrame:
+    """Top-k URLs per host by crawl order; returns frontier rows + ``pop_rank``.
+
+    ``salts=1`` degenerates to the single-window plan (used by the oracle
+    comparison); the default keeps every sort partition ~1/16 of a host.
+    """
+    if salts > 1:
+        salted = frontier.withColumn(
+            "_salt", F.pmod(F.col("url_key"), F.lit(salts)).cast("int")
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*pop_order())
+        local = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    else:
+        local = frontier
+    w2 = Window.partitionBy("host").orderBy(*pop_order())
+    return (
+        local.withColumn("pop_rank", F.row_number().over(w2))
+        .where(F.col("pop_rank") <= k)
+    )
+
+
+def remove_popped(frontier: DataFrame, popped: DataFrame) -> DataFrame:
+    """Frontier minus the popped rows (anti-join on url_key)."""
+    return frontier.join(popped.select("url_key"), "url_key", "left_anti")
+
+
+def add_discoveries(frontier: DataFrame, new_urls: DataFrame, epoch: int) -> DataFrame:
+    """Insert newly-discovered URLs (already keyed + deduped against both
+    the frontier and url_seen by the caller), stamping ``epoch_added``."""
+    cols = frontier.columns
+    additions = new_urls.withColumn("epoch_added", F.lit(epoch)).select(cols)
+    return frontier.unionByName(additions)
+
+
+def opic_cash_update(frontier: DataFrame, popped_with_outlinks: DataFrame) -> DataFrame:
+    """OPIC-style priority refresh: each popped page distributes its 'cash'
+    (priority) equally over its outlinks; frontier rows that are targets
+    accumulate the contribution. Expressed as an agg + left join + coalesce
+    (no per-row Python).
+
+    popped_with_outlinks: (url_key, priority, outlink_key array<long>).
+    """
+    contrib = (
+        popped_with_outlinks.select(
+            F.explode("outlink_key").alias("url_key"),
+            (F.col("priority") / F.greatest(F.size("outlink_key"), F.lit(1))).alias("cash"),
+        )
+        .groupBy("url_key")
+        .agg(F.sum("cash").alias("cash"))
+    )
+    return (
+        frontier.join(contrib, "url_key", "left")
+        .withColumn("priority", F.least(F.col("priority") + F.coalesce("cash", F.lit(0.0)),
+                                        F.lit(1.0)))
+        .drop("cash")
+    )
