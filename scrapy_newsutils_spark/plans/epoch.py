@@ -27,7 +27,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -119,6 +119,17 @@ class CrawlEngine:
             fresh = dedup.new_urls_bloom(spark, popped, seen)
         else:
             fresh = dedup.exact_new_urls(popped, seen)
+
+        # re-rank after dedup: seen URLs must not consume politeness budget
+        # (reference: Scrapy's dupefilter drops requests before the
+        # scheduler, so the download budget only ever sees fresh URLs).
+        # Cheap — the input is already capped at k rows/host.
+        fresh = fresh.drop("pop_rank").withColumn(
+            "pop_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(*frontier_ops.pop_order())
+            ),
+        )
 
         # 3. politeness gate + 4. fetch
         polite = politeness.with_politeness(fresh, self.robots, self.epoch_budget_ms).cache()

@@ -1,0 +1,69 @@
+"""Frontier priority pop: salted tree top-k == single-window top-k (W-rank).
+
+Deterministic crawl order is (priority DESC, discovered_ts ASC, url_key ASC)
+per host — the oracle ordering defined in SURVEY §7 to replace Scrapy's
+concurrency-dependent scheduler ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark.operators import frontier as fr
+
+
+def _popped_set(df):
+    return {(r["host"], r["url_key"], r["pop_rank"]) for r in
+            df.select("host", "url_key", "pop_rank").collect()}
+
+
+def test_salted_equals_unsalted(frontier_df):
+    a = _popped_set(fr.pop_top_k_per_host(frontier_df, k=5, salts=1))
+    b = _popped_set(fr.pop_top_k_per_host(frontier_df, k=5, salts=16))
+    assert a == b
+
+
+def test_pop_respects_order(frontier_df):
+    popped = fr.pop_top_k_per_host(frontier_df, k=3, salts=8)
+    rows = popped.select("host", "priority", "discovered_ts", "url_key", "pop_rank").collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["pop_rank"])
+        keys = [(-r["priority"], r["discovered_ts"], r["url_key"]) for r in rs]
+        assert keys == sorted(keys), host
+        assert len(rs) <= 3
+
+
+def test_seed_urls_pop_first(frontier_df):
+    """Seeds carry priority 1.0 → rank 1 of every host is its seed."""
+    popped = fr.pop_top_k_per_host(frontier_df, k=1, salts=8)
+    low = popped.where(F.col("priority") < 1.0).count()
+    assert low == 0
+
+
+def test_remove_popped(frontier_df):
+    popped = fr.pop_top_k_per_host(frontier_df, k=5, salts=8)
+    rest = fr.remove_popped(frontier_df, popped)
+    assert rest.count() == frontier_df.count() - popped.count()
+    assert rest.join(popped.select("url_key"), "url_key", "left_semi").count() == 0
+
+
+def test_opic_cash_update(spark, frontier_df):
+    """A popped page's cash splits equally over outlinks and caps at 1.0."""
+    targets = [r["url_key"] for r in frontier_df.limit(4).collect()]
+    popped = spark.createDataFrame(
+        [(999, 0.8, targets[:2]), (998, 0.4, targets[2:4])],
+        "url_key long, priority double, outlink_key array<long>",
+    )
+    updated = fr.opic_cash_update(frontier_df, popped)
+    before = {r["url_key"]: r["priority"] for r in frontier_df.collect()}
+    after = {r["url_key"]: r["priority"] for r in updated.collect()}
+    for t in targets[:2]:
+        assert abs(after[t] - min(before[t] + 0.4, 1.0)) < 1e-9
+    for t in targets[2:4]:
+        assert abs(after[t] - min(before[t] + 0.2, 1.0)) < 1e-9
+    untouched = set(before) - set(targets)
+    for u in list(untouched)[:10]:
+        assert after[u] == before[u]
