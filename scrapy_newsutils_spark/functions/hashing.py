@@ -58,28 +58,30 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash64_fast(text: Column) -> Column:
-    """64-bit SimHash over distinct whitespace tokens using xxhash64 token
-    hashes (JVM integer math — the at-scale path). Bit b of the result is
-    the sign of the vote sum over tokens of (bit b present ? +1 : -1)."""
-    toks = F.array_distinct(tokens_of(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(votes, F.sequence(F.lit(0), F.lit(63)),
-                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b))
-                   .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+def simhash_signatures(docs, id_col: str, text_col: str):
+    """64-bit SimHash per document: (id_col, sig:long) DataFrame.
+
+    Bit b of the signature is set iff the majority of distinct token hashes
+    have bit b set (vote = +1 present / −1 absent; ties clear the bit).
+    Implementation is fully JVM-side: explode distinct tokens → xxhash64 →
+    one groupBy(id) with 64 bit-count sums (shift amounts are literal ints,
+    so everything stays in whole-stage codegen). One shuffle on the doc id —
+    the same shape at any corpus size."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_of(F.col(text_col)))).alias("_tok")
+    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(64)
+    ]
+    g = tok.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_c{b}") * 2 > F.col("_n"), bit).otherwise(F.lit(0).cast("long"))
+        )
+    return g.select(id_col, sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1,0 +1,105 @@
+"""Edit classification + versioning (J2) — the reference's CheckEdits slow
+path, set-oriented.
+
+Reference semantics (/root/reference/src/newsutils/pipelines.py:96-148):
+for a batch row whose ``short_link`` matches an existing post:
+- identical in every field outside ``edits_excluded_fields`` → **pristine**:
+  drop the row;
+- ``text`` or ``title`` changed (``edits_new_version_fields``,
+  /root/reference/src/newsutils/conf/posts.py:156) → **new_version**:
+  version = existing.version + 1, inserted as a NEW row (own post_id);
+- anything else changed → **minor**: update-in-place, adopting the existing
+  row's identity (post_id, version).
+Unmatched rows are plain **new** inserts.
+
+Excluded fields (/root/reference/src/newsutils/conf/posts.py:59-64):
+version, the db id, the item id (short_link), and the NLP-computed fields.
+
+A single MERGE can't express "WHEN MATCHED THEN INSERT", so the engine
+routes rows into (inserts ∪ updates) BEFORE the sink MERGE (SURVEY §7
+"hard parts"). One inner join on short_link does all the classification —
+no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fields compared for "pristine" = everything except these
+EXCLUDED_FIELDS = {
+    "post_id", "version", "short_link", "link_hash",
+    "category", "caption", "summary", "siblings", "related",  # nlp fields
+    "created_ts",  # row event-time, not content
+}
+NEW_VERSION_FIELDS = ("text", "title")
+
+
+def _changed(fields: list[str]) -> F.Column:
+    """ANY field differs between batch (b_) and existing (e_) projections.
+    Null-safe: <=> treats null==null as equal."""
+    cond = F.lit(False)
+    for f in fields:
+        cond = cond | ~F.col(f"b_{f}").eqNullSafe(F.col(f"e_{f}"))
+    return cond
+
+
+def classify_edits(batch: DataFrame, existing: DataFrame,
+                   key: str = "short_link") -> DataFrame:
+    """Tag each batch row with ``edit_status`` ∈ {new, pristine, new_version,
+    minor} plus the matched row's identity (``existing_post_id``,
+    ``existing_version``) when present."""
+    compare = [c for c in batch.columns if c not in EXCLUDED_FIELDS and c != key]
+    b = batch.select(
+        F.col(key),
+        *[F.col(c).alias(f"b_{c}") for c in batch.columns if c != key],
+    )
+    e = existing.select(
+        F.col(key),
+        *[F.col(c).alias(f"e_{c}") for c in existing.columns if c != key],
+    )
+    j = b.join(e, key, "left")
+
+    status = (
+        F.when(F.col("e_post_id").isNull(), F.lit("new"))
+        .when(~_changed(compare), F.lit("pristine"))
+        .when(_changed(list(NEW_VERSION_FIELDS)), F.lit("new_version"))
+        .otherwise(F.lit("minor"))
+    )
+    out_cols = [F.col(key)] + [
+        F.col(f"b_{c}").alias(c) for c in batch.columns if c != key
+    ]
+    return j.select(
+        *out_cols,
+        status.alias("edit_status"),
+        F.col("e_post_id").alias("existing_post_id"),
+        F.col("e_version").alias("existing_version"),
+    )
+
+
+def route_edits(classified: DataFrame) -> DataFrame:
+    """Resolve classification into sink-ready rows (pristine rows dropped):
+
+    - new: as-is, version 1;
+    - new_version: version = existing + 1, keeps its own new post_id;
+    - minor: adopts existing post_id + version (update-in-place).
+
+    The result upserts with ``merge_upsert(key_cols=["post_id"])`` — minor
+    rows collide with (replace) the existing row, new/new_version insert.
+    """
+    kept = classified.where(F.col("edit_status") != "pristine")
+    return (
+        kept.withColumn(
+            "version",
+            F.when(F.col("edit_status") == "new_version",
+                   F.col("existing_version") + 1)
+            .when(F.col("edit_status") == "minor", F.col("existing_version"))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "post_id",
+            F.when(F.col("edit_status") == "minor", F.col("existing_post_id"))
+            .otherwise(F.col("post_id")),
+        )
+        .drop("existing_post_id", "existing_version")
+    )

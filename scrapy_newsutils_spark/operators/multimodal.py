@@ -1,0 +1,179 @@
+"""Multimodal binary-column operators: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` payloads with typed metadata.
+
+The Spark-side plumbing (schemas, mapInPandas batch shape, partition
+sizing) is real and tested; the image codecs for PNG and the deterministic
+lossy format are real (functions/images.py). Decoders for formats this
+container lacks libraries for (real JPEG/WebP, audio, video) are STUBBED:
+they raise NotImplementedError behind a clearly-marked gate, or use the
+deterministic fake (video = concatenated fake-frame payloads) so the
+frame-sampling plumbing is exercised end-to-end.
+
+Batch sizing note for 100 TB: binary payloads blow past
+``maxRecordsPerBatch`` heuristics — the session caps Arrow batches at 10k
+records, and callers should repartition by size (``maxPartitionBytes``)
+so a partition of 100 MB payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.images import decode_image, encode_image, phash64
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """mapInPandas decode + channel-stat extraction. Undecodable rows keep
+    decode_ok=False (never fail the batch — reference drops bad images
+    silently, /root/reference/src/newsutils/pipelines.py:213-214)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                row = {"image_id": r["image_id"], "w": None, "h": None,
+                       "mean_r": None, "mean_g": None, "mean_b": None,
+                       "phash": None, "decode_ok": False}
+                try:
+                    px = decode_image(bytes(r["bytes"]))
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    row.update(w=px.shape[1], h=px.shape[0],
+                               mean_r=float(m[0]), mean_g=float(m[1]),
+                               mean_b=float(m[2]), phash=phash64(px),
+                               decode_ok=True)
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(gen, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, max_side: int = 64) -> DataFrame:
+    """Nearest-neighbor downscale to max_side (numpy index sampling — real),
+    re-encoded in the source format. Undecodable rows are dropped."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = decode_image(bytes(r["bytes"]))
+                except Exception:
+                    continue
+                h, w, _ = px.shape
+                scale = max(h, w) / max_side
+                if scale > 1:
+                    nh, nw = max(int(h / scale), 1), max(int(w / scale), 1)
+                    ys = (np.arange(nh) * h / nh).astype(int)
+                    xs = (np.arange(nw) * w / nw).astype(int)
+                    px = px[ys][:, xs]
+                fmt = "png" if bytes(r["bytes"])[:4] == b"\x89PNG" else "jpeg"
+                out.append({"image_id": r["image_id"],
+                            "bytes": encode_image(px, fmt),
+                            "w": px.shape[1], "h": px.shape[0], "fmt": fmt})
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: deterministic fake container = header + concatenated fake frames
+
+_FVID_MAGIC = b"FVID"
+
+
+def encode_fake_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic fake video container (STUB codec, real plumbing):
+    magic + frame count + length-prefixed fake-jpeg frames."""
+    payload = b"".join(
+        struct.pack(">I", len(e)) + e
+        for e in (encode_image(f, "jpeg") for f in frames)
+    )
+    return _FVID_MAGIC + struct.pack(">I", len(frames)) + payload
+
+
+def decode_fake_video(data: bytes) -> list[np.ndarray]:
+    if not data.startswith(_FVID_MAGIC):
+        raise NotImplementedError(
+            "real video codecs are not available in this container; "
+            "only the deterministic FVID fake container is decodable"
+        )
+    (n,) = struct.unpack(">I", data[4:8])
+    pos, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        frames.append(decode_image(data[pos + 4:pos + 4 + ln]))
+        pos += 4 + ln
+    return frames
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling over binary video payloads: one output row per kept
+    frame (row explosion happens inside the Arrow batch, so a 1-row input
+    with 1000 frames never materializes per-frame Python objects twice)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    frames = decode_fake_video(bytes(r["bytes"]))
+                except NotImplementedError:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    out.append({"video_id": r["video_id"], "frame_idx": i,
+                                "bytes": encode_image(frames[i], "jpeg"),
+                                "phash": phash64(frames[i])})
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return videos.select("video_id", "bytes").mapInPandas(gen, FRAMES_SCHEMA)
+
+
+def decode_audio_stub(data: bytes) -> np.ndarray:
+    """Audio decode STUB: no audio libraries in this container."""
+    raise NotImplementedError(
+        "audio decoding requires libs not present in this container; "
+        "plug a soundfile/librosa-backed decoder here in production"
+    )

@@ -1,0 +1,156 @@
+"""TF-IDF all-pairs similarity + sibling/related banding (A1, J5, J6, W1).
+
+Reference semantics: per-day corpus TF-IDF cosine
+(/root/reference/src/newsutils/nlp.py:64-74,117-137), per-post top-n ≥
+threshold per band (conf/mixins.py:86-104), bands processed in descending
+threshold order so related = result − siblings (nlp.py:124-137); thresholds
+siblings .4 / related .2, top_n = 2 (conf/posts.py:163-165).
+
+Engine shape — the scalable sparse path, NOT the reference's dense
+doc×corpus matrix:
+
+  tokens → explode → (doc, term, tf) → join doc-freq agg → tf-idf weight
+  → L2-normalize per doc → self-join on term → groupBy(pair) Σ products
+  = cosine (sparse dot product; only term-sharing pairs ever materialize).
+
+Every stage is a plain shuffle on term or pair keys — no crossJoin, no
+driver-side matrix, survives corpora where n²/day is infeasible. Hot terms
+(stopword-like df ≈ N) are the skew risk at scale: ``max_df_ratio`` prunes
+them (they carry ≈ zero idf weight anyway), which bounds per-term join
+fan-out — the classic prefix-filter optimization.
+
+The symmetric matrix is computed once as (a < b) pairs then mirrored —
+the half-matrix TODO the reference never shipped (nlp.py:113-114).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_of
+
+SIBLINGS_THRESHOLD = 0.4
+RELATED_THRESHOLD = 0.2
+MAX_DOCS = 2
+
+
+def get_post_text(title: str = "title", text: str = "text") -> F.Column:
+    """Reference corpus-text strategy: title + '. ' + body
+    (/root/reference/src/newsutils/conf/mixins.py:135-154 — add_fullstop on
+    the title, then concatenation)."""
+    t = F.col(title)
+    dotted = F.when(t.rlike(r"[.!?…]\s*$"), t).otherwise(F.concat(t, F.lit(".")))
+    return F.concat_ws(" ", dotted, F.col(text))
+
+
+def tfidf_vectors(docs: DataFrame, id_col: str, text_col,
+                  max_df_ratio: float = 0.5) -> DataFrame:
+    """(id, term, weight) with L2-normalized smooth tf-idf weights
+    (tf · (ln((1+N)/(1+df)) + 1), sklearn-style smoothing — the reference's
+    TfidfVectorizer is external, semantics inferred from call sites)."""
+    n_docs = docs.count()
+    terms = (
+        docs.select(F.col(id_col).alias("doc"), text_col.alias("_text"))
+        .select("doc", F.explode(tokens_of(F.col("_text"))).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = terms.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    if max_df_ratio < 1.0:
+        df_counts = df_counts.where(F.col("df") <= int(max(n_docs * max_df_ratio, 1)))
+    weighted = terms.join(df_counts, "term").withColumn(
+        "w",
+        F.col("tf")
+        * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+    )
+    norms = weighted.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") ** 2)).alias("norm"))
+    return (
+        weighted.join(norms, "doc")
+        .select("doc", "term", (F.col("w") / F.col("norm")).alias("weight"))
+    )
+
+
+def cosine_pairs(vectors: DataFrame, min_score: float = 0.0) -> DataFrame:
+    """Sparse all-pairs cosine: (a, b, score) with a < b, score ≥ min_score."""
+    left = vectors.select(F.col("doc").alias("a"), "term",
+                          F.col("weight").alias("wa"))
+    right = vectors.select(F.col("doc").alias("b"), "term",
+                           F.col("weight").alias("wb"))
+    pairs = (
+        left.join(right, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("score"))
+    )
+    return pairs.where(F.col("score") >= min_score)
+
+
+def mirror_pairs(half: DataFrame) -> DataFrame:
+    """(a<b) half-matrix → full directed edge list (src, dst, score)."""
+    fwd = half.select(F.col("a").alias("src"), F.col("b").alias("dst"), "score")
+    rev = half.select(F.col("b").alias("src"), F.col("a").alias("dst"), "score")
+    return fwd.unionByName(rev)
+
+
+def banded_top_n(edges: DataFrame,
+                 siblings_threshold: float = SIBLINGS_THRESHOLD,
+                 related_threshold: float = RELATED_THRESHOLD,
+                 top_n: int = MAX_DOCS) -> DataFrame:
+    """Assign each directed edge a band and keep top-n per (src, band).
+
+    Bands are disjoint by construction (J6): score ≥ sib_t → 'siblings',
+    sib_t > score ≥ rel_t → 'related' — equivalent to the reference's
+    higher-band-first-then-subtract because the bands partition the score
+    axis (conf/mixins.py:102-104 processes thresholds in desc order).
+    """
+    banded = edges.withColumn(
+        "band",
+        F.when(F.col("score") >= siblings_threshold, F.lit("siblings"))
+        .when(F.col("score") >= related_threshold, F.lit("related")),
+    ).where(F.col("band").isNotNull())
+    w = Window.partitionBy("src", "band").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .drop("rank")
+    )
+
+
+def similarity_lists(banded: DataFrame) -> DataFrame:
+    """Collapse banded edges to per-post siblings/related array<struct>
+    columns (the Post schema's storage shape, SURVEY §1.2)."""
+    per_band = (
+        banded.groupBy("src", "band")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("score"), F.col("dst"))), asc=False
+                ),
+                lambda s: F.struct(s["dst"].alias("post_id"), s["score"].alias("score")),
+            ).alias("refs")
+        )
+    )
+    return (
+        per_band.groupBy("src")
+        .pivot("band", ["siblings", "related"])
+        .agg(F.first("refs"))
+        .select(
+            F.col("src").alias("post_id"),
+            F.coalesce("siblings", F.array().cast(
+                "array<struct<post_id:long,score:double>>")).alias("siblings"),
+            F.coalesce("related", F.array().cast(
+                "array<struct<post_id:long,score:double>>")).alias("related"),
+        )
+    )
+
+
+def expand_refs(posts: DataFrame, refs_col: str = "siblings") -> DataFrame:
+    """J4: stored {post_id, score} refs back to full rows; dangling refs
+    drop out via the inner join (/root/reference/src/newsutils/nlp.py:343-362)."""
+    edges = posts.select(
+        F.col("post_id").alias("src"), F.explode(refs_col).alias("ref")
+    ).select("src", F.col("ref.post_id").alias("post_id"), F.col("ref.score").alias("score"))
+    return edges.join(posts, "post_id", "inner")

@@ -1,0 +1,172 @@
+"""Reference post-pipeline semantics: FilterDate, edit classification,
+image gate, e-zines upsert (SURVEY §2.2/§2.3 — F1/F2, J2, F4/F5, K3/C8).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark import fixtures
+from scrapy_newsutils_spark.operators import edits, ezines, image_gate, pipeline
+
+
+@pytest.fixture(scope="module")
+def posts_df(spark):
+    return fixtures.posts_batch(spark).cache()
+
+
+# -- F1/F2 -------------------------------------------------------------------
+
+def test_parse_dates_range_union_list():
+    got = pipeline.parse_dates("2024-03-01", "2024-03-03", ["2024-03-10"])
+    assert [d.isoformat() for d in got] == [
+        "2024-03-01", "2024-03-02", "2024-03-03", "2024-03-10"]
+
+
+def test_parse_dates_default_today():
+    today = dt.date(2024, 3, 5)
+    assert pipeline.parse_dates(today=today) == [today]
+
+
+def test_filter_valid_drops_null_publish_time(posts_df):
+    out = pipeline.filter_valid(posts_df)
+    assert out.where(F.col("publish_time").isNull()).count() == 0
+    assert out.count() == posts_df.count() - 1  # exactly one null row in fixture
+
+
+def test_filter_date_window(posts_df):
+    days = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    out = pipeline.filter_date(pipeline.filter_valid(posts_df), days)
+    # the out-of-window row (day0 - 40d) is dropped
+    assert out.where(F.to_date("publish_time") < "2024-03-01").count() == 0
+    got = {r[0] for r in out.select(F.to_date("publish_time")).distinct().collect()}
+    assert got <= {dt.date.fromisoformat(d.isoformat()) for d in days}
+
+
+def test_filter_metapost(posts_df):
+    out = pipeline.filter_metapost(posts_df)
+    assert out.where(F.col("type").startswith("metapost")).count() == 0
+    assert pipeline.filter_metapost(posts_df, nlp_uses_meta=True).count() == posts_df.count()
+
+
+# -- J2 edit classification ----------------------------------------------------
+
+def _edit_fixture(spark, posts_df):
+    existing = posts_df.where(F.col("post_id") < 40)
+    pristine = existing.where(F.col("post_id") == 1).withColumn(
+        "post_id", F.lit(1001).cast("long"))
+    major = existing.where(F.col("post_id") == 2).withColumn(
+        "post_id", F.lit(1002).cast("long")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" EDITED MAJOR")))
+    minor = existing.where(F.col("post_id") == 3).withColumn(
+        "post_id", F.lit(1003).cast("long")).withColumn(
+        "tags", F.array(F.lit("breaking")))
+    nlp_only = existing.where(F.col("post_id") == 4).withColumn(
+        "post_id", F.lit(1004).cast("long")).withColumn(
+        "summary", F.lit("engine-written summary"))
+    brand_new = existing.where(F.col("post_id") == 5).withColumn(
+        "post_id", F.lit(1005).cast("long")).withColumn(
+        "short_link", F.lit("/post/brand-new"))
+    batch = pristine.unionByName(major).unionByName(minor).unionByName(
+        nlp_only).unionByName(brand_new)
+    return batch, existing
+
+
+def test_classify_edits_four_way(spark, posts_df):
+    batch, existing = _edit_fixture(spark, posts_df)
+    got = {r["post_id"]: r["edit_status"]
+           for r in edits.classify_edits(batch, existing).collect()}
+    assert got[1001] == "pristine"
+    assert got[1002] == "new_version"
+    assert got[1003] == "minor"
+    assert got[1004] == "pristine"   # nlp fields are excluded from compare
+    assert got[1005] == "new"
+
+
+def test_route_edits_versioning(spark, posts_df):
+    batch, existing = _edit_fixture(spark, posts_df)
+    routed = edits.route_edits(edits.classify_edits(batch, existing))
+    rows = {r["short_link"]: r for r in routed.collect()}
+    # pristine + nlp-only rows dropped
+    assert len(rows) == 3
+    major = rows["/post/2"]
+    assert major["version"] == 2 and major["post_id"] == 1002  # new row kept own id
+    minor = rows["/post/3"]
+    assert minor["version"] == 1 and minor["post_id"] == 3     # adopted identity
+    new = rows["/post/brand-new"]
+    assert new["version"] == 1 and new["post_id"] == 1005
+
+
+def test_route_then_upsert_roundtrip(spark, tmp_path, posts_df):
+    """new_version inserts a second row for the same short_link; minor
+    replaces in place — the reference's SaveToDb outcomes (pipelines.py:16-35)."""
+    from scrapy_newsutils_spark import schemas
+    from scrapy_newsutils_spark.sources.snapshot_table import SnapshotTable
+
+    batch, existing = _edit_fixture(spark, posts_df)
+    table = SnapshotTable(str(tmp_path / "posts"), schemas.POSTS)
+    table.overwrite(existing)
+    routed = edits.route_edits(edits.classify_edits(batch, existing))
+    table.merge_upsert(spark, routed.select([f.name for f in schemas.POSTS.fields]),
+                       key_cols=["post_id"])
+    final = table.read(spark)
+    assert final.where(F.col("short_link") == "/post/2").count() == 2  # v1 + v2
+    v3 = final.where(F.col("short_link") == "/post/3")
+    assert v3.count() == 1
+    assert v3.first()["tags"] == ["breaking"]  # updated in place
+    assert final.where(F.col("short_link") == "/post/brand-new").count() == 1
+
+
+# -- F4/F5 image gate ----------------------------------------------------------
+
+def test_image_gate_size_and_quality(spark, images_df):
+    out = image_gate.gate_images(images_df).cache()
+    rows = out.collect()
+    assert all(r["w"] >= 300 and r["h"] >= 200 for r in rows)
+    import math
+    assert all(r["brisque"] <= 50.0 or math.isnan(r["brisque"]) for r in rows)
+    # near-flat images (every 13th) must be gone even when large
+    flat_large = images_df.where(
+        (F.pmod(F.regexp_extract("image_id", r"(\d+)", 1).cast("long"), F.lit(13)) == 0)
+        & image_gate.size_predicate()
+    ).count()
+    kept_ids = {r["image_id"] for r in rows}
+    flat_kept = [r["image_id"] for r in images_df.collect()
+                 if int(r["image_id"].split("-")[1]) % 13 == 0 and r["image_id"] in kept_ids]
+    assert flat_large > 0 and not flat_kept
+
+
+def test_image_gate_drops_undecodable(spark):
+    df = spark.createDataFrame(
+        [("bad-1", b"garbage", 400, 400, "png", "c", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    assert image_gate.gate_images(df).count() == 0
+
+
+# -- K3/C8 e-zines ---------------------------------------------------------------
+
+def test_event_pk_deterministic(spark):
+    df = fixtures.sport_events_table(spark, n=100)
+    again = fixtures.sport_events_table(spark, n=100)
+    assert sorted(r["event_pk"] for r in df.collect()) == \
+           sorted(r["event_pk"] for r in again.collect())
+
+
+def test_ezine_upsert_last_write_wins(spark):
+    df = fixtures.sport_events_table(spark, n=200)
+    # fixture injects ~5% duplicate compound keys
+    assert df.count() > df.select("event_pk").distinct().count()
+    deduped = ezines.dedupe_latest(df)
+    assert deduped.count() == df.select("event_pk").distinct().count()
+
+
+def test_ezine_fetch_plan_cross(spark):
+    sports = spark.createDataFrame([("s1",), ("s2",)], ["sport_id"])
+    leagues = spark.createDataFrame([("l1",), ("l2",), ("l3",)], ["league_id"])
+    plan = ezines.fetch_plan(sports, leagues)
+    assert plan.count() == 6
+    assert plan.first()["endpoint"].startswith("eventsseason.php?id=")

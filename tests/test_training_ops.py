@@ -1,0 +1,161 @@
+"""Training-data pipeline ops: dedup family, ANN, multimodal plumbing,
+text analysis — over the driver-provided documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark.operators import multimodal, training
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, documents_df):
+    """documents + injected exact and near duplicates."""
+    base = documents_df.limit(50)
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),  # whitespace-only edit
+        "lang", "source", "n_chars",
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words here")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_dedup_exact(dup_docs):
+    kept = training.dedup_exact(dup_docs)
+    # 5 whitespace-variant dups collapse; keeper is the lowest id
+    assert kept.count() == dup_docs.count() - 5
+    assert kept.where(F.col("doc_id") >= 100000).where(F.col("doc_id") < 200000).count() == 0
+    groups = training.dedup_exact_groups(dup_docs)
+    assert groups.count() == 5
+    assert all(r["keeper_id"] < 100000 for r in groups.collect())
+
+
+def test_minhash_near_dups_finds_injected(dup_docs):
+    got = training.minhash_near_dups(dup_docs, jaccard_min=0.5)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    # each near-dup (d+200000) must pair with its source d
+    want = {(d, d + 200000) for d in range(5)}
+    assert want <= pairs
+    for r in got.collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_lsh_is_subset_of_allpairs(dup_docs):
+    """LSH candidates must be verified: every emitted pair really has
+    jaccard >= threshold (no false positives after verify)."""
+    got = training.minhash_near_dups(dup_docs, jaccard_min=0.9)
+    for r in got.collect():
+        assert r["jaccard"] >= 0.9
+
+
+def test_simhash_near_dups(dup_docs):
+    got = training.simhash_near_dups(dup_docs, max_hamming=10)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    hits = sum((d, d + 200000) in pairs or (d + 200000, d) in pairs for d in range(5))
+    assert hits >= 3  # prefix blocking is approximate; most must be found
+    # exact dups (whitespace variant) hash identically → hamming 0
+    exact_pairs = [r for r in got.collect()
+                   if r["b"] - r["a"] == 100000 and r["hamming"] == 0]
+    assert len(exact_pairs) >= 4
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in training.ngram_jaccard_pairs(dup_docs, jaccard_min=0.4).collect()}
+    for d in range(5):
+        assert (d, d + 100000) in got and got[(d, d + 100000)] == 1.0  # identical shingles
+        assert (d, d + 200000) in got
+
+
+def test_embedding_near_dups(spark, embeddings_df):
+    emb = embeddings_df.limit(40)
+    clones = emb.limit(5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(clones)
+    got = training.embedding_near_dups(both, cos_min=0.999, block_col=None)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    for r in emb.limit(5).collect():
+        assert (r["vec_id"], r["vec_id"] + 50000) in pairs
+
+
+def test_ann_bruteforce_vs_numpy(spark, embeddings_df):
+    emb = embeddings_df.limit(100).cache()
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"),
+                                  F.col("embedding").alias("q_vec"))
+    got = training.ann_bruteforce_topk(emb, queries, k=5)
+    rows = got.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for q in [r["q_id"] for r in queries.collect()]:
+        qv = mat[q]
+        cos = {i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+               for i, v in mat.items()}
+        want = sorted(cos, key=lambda i: (-round(cos[i], 6), i))[:5]
+        got_ids = [r["neighbor_id"] for r in sorted(
+            (r for r in rows if r["q_id"] == q), key=lambda r: r["rank"])]
+        assert got_ids == want, q
+        assert got_ids[0] == q  # self is nearest
+
+
+def test_ann_lsh_recall(spark, embeddings_df):
+    emb = embeddings_df.limit(200).cache()
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"),
+                                  F.col("embedding").alias("q_vec"))
+    exact = training.ann_bruteforce_topk(emb, queries, k=3)
+    approx = training.ann_lsh_topk(emb, queries, dim=dim, k=3, n_planes=4)
+    ex = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, recall  # bucketed ANN trades recall for cost
+    # self-neighbor always lands in its own bucket
+    assert all((q, q) in ap for q in [r["q_id"] for r in queries.collect()])
+
+
+def test_analyze_documents(documents_df):
+    out = training.analyze_documents(documents_df.limit(200)).cache()
+    rows = out.collect()
+    assert all(r["n_tokens_ws"] >= 0 for r in rows)
+    assert all(r["n_tokens_bpe"] >= r["n_tokens_ws"] for r in rows)  # subwords ≥ words
+    assert all(0 <= r["quality"] <= 100 for r in rows)
+    assert all(len(r["fp"]) == 32 for r in rows)
+    langs = {r["lang_pred"] for r in rows}
+    assert langs <= {"en", "fr", "es", "de", "zh", "und"}
+
+
+def test_multimodal_features_and_resize(spark, images_df):
+    feats = multimodal.extract_image_features(images_df.limit(20))
+    rows = feats.collect()
+    assert all(r["decode_ok"] for r in rows)
+    src = {r["image_id"]: (r["w"], r["h"], r["phash"]) for r in images_df.limit(20).collect()}
+    for r in rows:
+        assert (r["w"], r["h"], r["phash"]) == src[r["image_id"]]
+    resized = multimodal.resize_images(images_df.limit(10), max_side=32).collect()
+    assert all(max(r["w"], r["h"]) <= 32 for r in resized)
+
+
+def test_multimodal_frame_sampling(spark):
+    from scrapy_newsutils_spark.fixtures import pixels_for
+    frames = [pixels_for(i, 32, 24) for i in range(6)]
+    vids = spark.createDataFrame(
+        [("v1", multimodal.encode_fake_video(frames)), ("bad", b"noise")],
+        "video_id string, bytes binary",
+    )
+    out = multimodal.sample_frames(vids, every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert all(r["video_id"] == "v1" for r in out)  # undecodable skipped
+
+
+def test_audio_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_stub(b"\x00")
