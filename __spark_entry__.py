@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship = one crawl scheduling step (frontier pop → URL-seen
+anti-join → politeness gate → payload fetch join) over a frontier synthesized
+deterministically from the sf0.001 documents table.
+
+queries()/oracle_sql(): the full operator registry lives in
+scrapy_newsutils_spark/plans/driver_queries.py — each Spark query paired with
+a DuckDB-ANSI oracle producing identical values (column names aliased to
+match on both sides; floats rounded; engine-internal hashes never emitted).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scrapy_newsutils_spark.plans import driver_queries as DQ  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl scheduling step over sf0.001 (rows > 0, stable
+    schema). Pure DataFrame — pop top-3 per host by priority, drop seen,
+    politeness-gate, join the payload (documents stands in for the web)."""
+    from pyspark.sql import Window
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = DQ._frontier(docs)
+    seen = fr.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    fresh = fr.join(seen, "doc_id", "left_anti")
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                           F.col("doc_id").asc())
+    popped = fresh.withColumn("pop_rank", F.row_number().over(w)).where(
+        F.col("pop_rank") <= 3)
+    payload = docs.select("doc_id", F.substring("text", 1, 80).alias("caption"),
+                          "lang", "n_chars")
+    return popped.join(payload, "doc_id").select(
+        "host", "doc_id", "url", "pop_rank", "caption", "lang", "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (see
+    driver_queries.py for the operator mapping in each docstring)."""
+    return {name: fn for name, (fn, _) in DQ.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted for ops DuckDB
+    cannot replicate, e.g. xxhash64-based simhash → rows-only check)."""
+    return {name: sql for name, (_, sql) in DQ.QUERIES.items() if sql is not None}

@@ -33,11 +33,15 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<string>: element i = min over shingles of
     md5(i || '|' || shingle). String-min is lexicographic — identical in
     Spark and DuckDB, making signatures oracle-checkable."""
+
+    def hasher(prefix: str):
+        # NB: must be a 1-arg lambda — pyspark treats a 2nd lambda param as
+        # the array index, which would shadow a `i=i` default capture.
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
         *[
-            F.array_min(F.transform(
-                shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-            ))
+            F.array_min(F.transform(shingle_arr, hasher(f"{i}|")))
             for i in range(num_hashes)
         ]
     )

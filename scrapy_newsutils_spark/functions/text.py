@@ -94,19 +94,15 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax over marker-hit counts; 'und' when no marker hits.
-    Ties break by language code order (deterministic)."""
+    Ties break by language code order ascending (deterministic): sort the
+    (−hits, lang) struct array ascending → best hits first, lang asc on ties."""
     scores = lang_scores(text)
     pairs = F.array(
-        *[F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+        *[F.struct((-scores[lang]).alias("neg_hits"), F.lit(lang).alias("lang"))
           for lang in sorted(LANG_MARKERS)]
     )
-    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
-    # array_max on struct orders by (hits, lang) — ties pick the LAST lang;
-    # invert by sorting desc on hits, asc on lang:
-    ranked = F.sort_array(F.filter(pairs, lambda p: p["hits"] > 0), asc=False)
-    first = F.when(F.size(ranked) > 0, F.element_at(ranked, 1))
-    _ = best
-    return F.coalesce(first["lang"], F.lit("und"))
+    best = F.element_at(F.sort_array(pairs), 1)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
 
 
 # ---------------------------------------------------------------------------

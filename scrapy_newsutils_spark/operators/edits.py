@@ -45,11 +45,16 @@ def _changed(fields: list[str]) -> F.Column:
 
 
 def classify_edits(batch: DataFrame, existing: DataFrame,
-                   key: str = "short_link") -> DataFrame:
+                   key: str = "short_link",
+                   new_version_fields: tuple[str, ...] = NEW_VERSION_FIELDS,
+                   excluded_fields: set[str] | None = None) -> DataFrame:
     """Tag each batch row with ``edit_status`` ∈ {new, pristine, new_version,
     minor} plus the matched row's identity (``existing_post_id``,
-    ``existing_version``) when present."""
-    compare = [c for c in batch.columns if c not in EXCLUDED_FIELDS and c != key]
+    ``existing_version``) when present. Field sets are configurable, like the
+    reference's settings-driven ``edits_*_fields``."""
+    excluded = EXCLUDED_FIELDS if excluded_fields is None else excluded_fields
+    nv_fields = [f for f in new_version_fields if f in batch.columns]
+    compare = [c for c in batch.columns if c not in excluded and c != key]
     b = batch.select(
         F.col(key),
         *[F.col(c).alias(f"b_{c}") for c in batch.columns if c != key],
@@ -63,7 +68,7 @@ def classify_edits(batch: DataFrame, existing: DataFrame,
     status = (
         F.when(F.col("e_post_id").isNull(), F.lit("new"))
         .when(~_changed(compare), F.lit("pristine"))
-        .when(_changed(list(NEW_VERSION_FIELDS)), F.lit("new_version"))
+        .when(_changed(nv_fields), F.lit("new_version"))
         .otherwise(F.lit("minor"))
     )
     out_cols = [F.col(key)] + [

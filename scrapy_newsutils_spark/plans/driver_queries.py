@@ -1,0 +1,617 @@
+"""Driver-contract query registry: every implemented operator as a
+(spark_fn, oracle_sql) pair over the shared testdata tables.
+
+The driver runs each Spark query AND its DuckDB oracle side-by-side at
+sf=0.01 and compares row-count + schema + order-insensitive value-hash
+(columns sorted by name). Rules followed throughout:
+
+- every computed column aliased identically on both sides;
+- floats only ever emitted after ``round(x, n)`` (summation-order noise);
+- sums cast to DOUBLE in SQL (DuckDB SUM(int) yields int128, Spark long);
+- engine-internal hashes (xxhash64) never appear in output — queries that
+  fundamentally need them (simhash) ship without an oracle (rows-only check);
+- crawl-state operators (frontier pop, URL-seen, politeness, edit
+  classification) run over a frontier SYNTHESIZED deterministically from the
+  ``documents`` table, so the oracle can reconstruct it in pure SQL.
+
+Operator → SURVEY §2 mapping is in each query's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import edits, training
+
+# ---------------------------------------------------------------------------
+# shared synth helpers (Spark side) + their SQL CTE twins
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _frontier(docs: DataFrame) -> DataFrame:
+    """Deterministic frontier over documents: host = source, priority a pure
+    function of doc_id. The SQL twin is _FRONTIER_CTE."""
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.pmod(F.col("doc_id") * 37 + 11, F.lit(1000)) / F.lit(1000.0)).alias("priority"),
+    )
+
+
+_FRONTIER_CTE = """
+frontier AS (
+  SELECT doc_id,
+         source AS host,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         ((doc_id * 37 + 11) % 1000) / 1000.0 AS priority
+  FROM documents
+)
+"""
+
+# corpus with injected duplicates for the dedup family
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    # fixed slice: pairwise outputs stay bounded at any scale factor
+    base = docs.where(F.col("doc_id") < 200).select("doc_id", "text")
+    exact = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"))
+    near = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail tokens")).alias("text"))
+    return base.unionByName(exact).unionByName(near)
+
+
+_DUP_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000, text || '  ' FROM documents WHERE doc_id % 5 = 0 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz extra tail tokens' FROM documents WHERE doc_id % 5 = 0 AND doc_id < 200
+)
+"""
+
+_TOK_CTE = """
+tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM corpus, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-state family (S1/W-rank, J1, T6, J2)
+
+def q_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-rank frontier pop: top-3 URLs per host by (priority DESC, doc_id).
+    SURVEY §2.5 W1-analog / north-rule priority queue."""
+    fr = _frontier(_docs(spark, sf_dir))
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                           F.col("doc_id").asc())
+    return (
+        fr.withColumn("pop_rank", F.row_number().over(w))
+        .where(F.col("pop_rank") <= 3)
+        .select("host", "doc_id", "url", "pop_rank")
+    )
+
+
+SQL_FRONTIER_POP = f"""
+WITH {_FRONTIER_CTE.strip()}
+SELECT host, doc_id, url, pop_rank FROM (
+  SELECT host, doc_id, url,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS pop_rank
+  FROM frontier
+) WHERE pop_rank <= 3
+"""
+
+
+def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: LEFT ANTI membership vs a seen set (doc_id % 10 == 0 pre-seen —
+    mirrors FIXTURES.md §3's 10% pre-population)."""
+    fr = _frontier(_docs(spark, sf_dir))
+    seen = fr.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    return fr.join(seen, "doc_id", "left_anti").select("doc_id", "host")
+
+
+SQL_URL_SEEN = f"""
+WITH {_FRONTIER_CTE.strip()},
+seen AS (SELECT doc_id FROM frontier WHERE doc_id % 10 = 0)
+SELECT f.doc_id, f.host FROM frontier f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.doc_id = f.doc_id)
+"""
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: per-host token bucket at epoch granularity. Host delay is a pure
+    function of the source number; allowance = floor(budget / delay)."""
+    fr = _frontier(_docs(spark, sf_dir))
+    src_num = F.substring(F.col("host"), 4, 10).cast("int")
+    delay = (
+        F.when(src_num % 4 == 0, F.lit(0))
+        .when(src_num % 4 == 1, F.lit(500))
+        .when(src_num % 4 == 2, F.lit(2000))
+        .otherwise(F.lit(60000))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                           F.col("doc_id").asc())
+    ranked = fr.withColumn("pop_rank", F.row_number().over(w)).withColumn("_d", delay)
+    allowance = F.when(F.col("_d") <= 0, F.lit(2_147_483_647)).otherwise(
+        F.floor(F.lit(60000) / F.col("_d")).cast("int"))
+    return ranked.select(
+        "host", "doc_id",
+        F.when(F.col("pop_rank") <= allowance, F.lit("ok"))
+        .otherwise(F.lit("deferred")).alias("status"),
+    )
+
+
+SQL_POLITENESS = f"""
+WITH {_FRONTIER_CTE.strip()},
+ranked AS (
+  SELECT host, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS pop_rank,
+         CASE (CAST(substring(host, 4) AS INT) % 4)
+           WHEN 0 THEN 0 WHEN 1 THEN 500 WHEN 2 THEN 2000 ELSE 60000 END AS d
+  FROM frontier
+)
+SELECT host, doc_id,
+       CASE WHEN pop_rank <= (CASE WHEN d <= 0 THEN 2147483647
+                              ELSE CAST(floor(60000 / d) AS INT) END)
+            THEN 'ok' ELSE 'deferred' END AS status
+FROM ranked
+"""
+
+
+def q_edit_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: four-way edit classification. Batch = documents with deterministic
+    mutations: %7==1 text edit (new_version), %7==2 n_chars bump (minor),
+    %7==3 lang change (minor), %7==4 unmatched key (new), else pristine."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "n_chars",
+        F.col("doc_id").alias("post_id"), F.lit(1).alias("version"))
+    m = F.col("doc_id") % 7
+    batch = docs.select(
+        F.when(m == 4, F.col("doc_id") + 1000000).otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(m == 1, F.concat(F.col("text"), F.lit(" EDIT"))).otherwise(F.col("text")).alias("text"),
+        F.when(m == 3, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        F.when(m == 2, F.col("n_chars") + 1).otherwise(F.col("n_chars")).alias("n_chars"),
+        F.when(m == 4, F.col("doc_id") + 1000000).otherwise(F.col("doc_id")).alias("post_id"),
+        F.lit(1).alias("version"),
+    )
+    out = edits.classify_edits(batch, docs, key="doc_id",
+                               new_version_fields=("text",))
+    return out.select("doc_id", "edit_status")
+
+
+SQL_EDIT_CLASSIFY = """
+WITH batch AS (
+  SELECT CASE WHEN doc_id % 7 = 4 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN text || ' EDIT' ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+         CASE WHEN doc_id % 7 = 2 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NULL THEN 'new'
+            WHEN b.text IS NOT DISTINCT FROM e.text
+                 AND b.lang IS NOT DISTINCT FROM e.lang
+                 AND b.n_chars IS NOT DISTINCT FROM e.n_chars THEN 'pristine'
+            WHEN b.text IS DISTINCT FROM e.text THEN 'new_version'
+            ELSE 'minor' END AS edit_status
+FROM batch b LEFT JOIN documents e ON b.doc_id = e.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on the normalization-stable fingerprint (injected
+    whitespace-variant dups must collapse onto their source)."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    return training.dedup_exact_groups(corpus).select("fp", "n_dups", "keeper_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_DUP_CORPUS_CTE.strip()},
+fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keeper_id
+FROM fps GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (md5 hash family, unigram shingles,
+    16 hashes × 4 bands of 4 — bit-replicable in the oracle)."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    return training.minhash_lsh_candidates(corpus, k_shingle=1,
+                                           num_hashes=16, bands=4)
+
+
+SQL_MINHASH = f"""
+WITH {_DUP_CORPUS_CTE.strip()},
+{_TOK_CTE.strip()},
+sig AS (
+  SELECT doc_id, u.i, MIN(md5(u.i || '|' || tok)) AS mh
+  FROM tok, unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS u(i)
+  GROUP BY doc_id, u.i
+),
+bands AS (
+  SELECT doc_id, 'b' || (i // 4) || ':' || md5(string_agg(mh, '|' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, (i // 4)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.bucket = y.bucket
+WHERE x.doc_id < y.doc_id
+"""
+
+
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.9 via shingle inverted index."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    return training.ngram_jaccard_pairs(corpus, k=1, jaccard_min=0.9)
+
+
+SQL_TOKEN_JACCARD = f"""
+WITH {_DUP_CORPUS_CTE.strip()},
+{_TOK_CTE.strip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM tok x JOIN tok y ON x.tok = y.tok
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.9
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Manku multi-block). xxhash64-based — DuckDB cannot
+    replicate Spark's xxhash64, so this ships without an oracle (rows-only)."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    return training.simhash_near_dups(corpus, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity family
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors. Ranking on
+    round(cos,4) with id tiebreak; no float columns emitted."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    j = emb.crossJoin(F.broadcast(queries))
+    c4 = F.round(training.cosine_expr(F.col("embedding"), F.col("q_vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(c4.desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 4) DESC,
+                    e.vec_id ASC) AS rank
+  FROM emb e CROSS JOIN q
+)
+SELECT q_id, neighbor_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding near-dup pairs at cos ≥ 0.35 (blocking column
+    stands in for an LSH bucket at scale; the synthetic vectors top out near
+    cos ≈ 0.47 within a label, so 0.35 captures the real near-dup tail)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos4", F.round(training.cosine_expr(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos4") >= 0.35)
+        .select("a", "b", "cos4")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cos4
+FROM emb x JOIN emb y ON x.label = y.label
+WHERE x.vec_id < y.vec_id
+  AND round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID over documents."""
+    return _docs(spark, sf_dir).select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return (f"COALESCE(len(list_intersect(toks, [{words}])), 0)")
+
+
+_LANGS = sorted(TX.LANG_MARKERS)
+SQL_LANG_ID = f"""
+WITH tok AS (
+  SELECT doc_id, list(DISTINCT t.tok) AS toks
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, {", ".join(f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in _LANGS)}
+  FROM tok
+),
+best AS (
+  SELECT doc_id, greatest({", ".join(f"h_{lg}" for lg in _LANGS)}) AS mx, *
+  FROM hits
+)
+SELECT d.doc_id,
+       CASE WHEN b.doc_id IS NULL OR b.mx = 0 THEN 'und'
+            {" ".join(f"WHEN b.h_{lg} = b.mx THEN '{lg}'" for lg in _LANGS)}
+       END AS lang_pred
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + score, token counts, fingerprint — the text-
+    analysis sweep, all JVM-side Column expressions."""
+    t = F.col("text")
+    feats = TX.quality_features(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count_ws(t).alias("n_tokens_ws"),
+        TX.token_count_bpe(t).alias("n_tokens_bpe"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stop_hits"].alias("stop_hits"),
+        TX.quality_score(t).alias("quality"),
+        TX.fingerprint(t).alias("fp"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens_ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         COALESCE(len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+             [{_STOP_LIST}])), 0) AS stop_hits
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_tokens_ws, n_tokens_bpe, stop_hits,
+         round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         CASE WHEN n_tokens_ws > 0
+              THEN round((n_chars - (n_tokens_ws - 1)) / n_tokens_ws, 6)
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT f.doc_id,
+       CAST(f.n_tokens_ws AS INT) AS n_tokens_ws,
+       CAST(f.n_tokens_bpe AS INT) AS n_tokens_bpe,
+       f.punct_ratio,
+       CAST(f.stop_hits AS INT) AS stop_hits,
+       round(greatest(
+         least(ln(1 + f.n_tokens_ws) * 10.0, 40.0)
+         + least(f.stop_hits * 5.0, 30.0)
+         + 30.0
+         - least(f.punct_ratio * 100.0, 30.0)
+         - (CASE WHEN f.mean_token_len < 2.0 OR f.mean_token_len > 12.0
+                 THEN 20.0 ELSE 0.0 END),
+         0.0), 4) AS quality,
+       md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp
+FROM feat f JOIN documents d USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic scan/agg/join/window coverage (S8/S9, F2, J3, A-aggs, W1, T2, K1)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 date filter + grouped aggregation (TPC-H Q1 shape). The shipdate
+    predicate reaches the parquet scan (PushedFilters)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 broadcast-enrichment: orders ⋈ customer ⋈ nation ⋈ region with the
+    small dims broadcast, revenue per nation."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, r_name,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-2 per group (the similarity_max_docs pattern) via rank window."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 2
+"""
+
+
+def q_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: day tumbling window aggregation over the event stream table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+                  "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_DAILY_EVENTS = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-analog: last-write-wins per key (the upsert sink's batch-internal
+    semantics) as a rank window."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_wordcount_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/A5 + F-predicates: reference wordcount semantics (space-split) as a
+    filter + projection over documents."""
+    d = _docs(spark, sf_dir)
+    wc = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select("doc_id", wc.alias("wordcount"))
+        .where(wc >= 20)
+    )
+
+
+SQL_WORDCOUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS wordcount
+FROM documents
+WHERE len(string_split(text, ' ')) >= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple] = {
+    # crawl-state operators
+    "frontier_pop_topk": (q_frontier_pop, SQL_FRONTIER_POP),
+    "url_seen_antijoin": (q_url_seen_antijoin, SQL_URL_SEEN),
+    "politeness_budget": (q_politeness_budget, SQL_POLITENESS),
+    "edit_classify": (q_edit_classify, SQL_EDIT_CLASSIFY),
+    # dedup family
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
+    "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH),
+    "token_jaccard_pairs": (q_token_jaccard, SQL_TOKEN_JACCARD),
+    "simhash_near_dups": (q_simhash_pairs, None),  # xxhash64: no SQL twin
+    # embedding similarity
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    # text analysis
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    # classic scan/agg/join/window coverage
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS),
+    "daily_events": (q_daily_events, SQL_DAILY_EVENTS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT),
+    "wordcount_filter": (q_wordcount_filter, SQL_WORDCOUNT),
+}
