@@ -1,0 +1,116 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+plus crawl-epoch throughput, on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"pops_plus_fetched_per_sec": ..., ...}}
+
+The crawl section measures the north-rule metric (frontier pops + fetched
+pages per second) over a synthetic frontier; scaling-efficiency evidence
+across parallelism levels is produced by scripts/scaling_bench.py (the
+sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# local-mode JVM hosts driver+executors together; fetch epochs materialize
+# image payloads, so give the single JVM real headroom.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+from scrapy_newsutils_spark import fixtures  # noqa: E402
+from scrapy_newsutils_spark.plans import driver_queries as DQ  # noqa: E402
+from scrapy_newsutils_spark.plans.epoch import CrawlEngine  # noqa: E402
+from scrapy_newsutils_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "frontier_pop_topk", "url_seen_antijoin", "politeness_budget",
+    "edit_classify", "dedup_exact_groups", "minhash_band_pairs",
+    "token_jaccard_pairs", "simhash_near_dups", "embedding_topk",
+    "embedding_near_dups", "lang_id", "text_quality", "pricing_summary",
+    "nation_revenue", "top_orders_per_cust", "daily_events",
+    "latest_event_per_user", "wordcount_filter",
+]
+
+FRONTIER_ROWS = int(os.environ.get("BENCH_FRONTIER_ROWS", "2000000"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "1500"))
+TOP_K = int(os.environ.get("BENCH_TOP_K", "200"))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", "2"))
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in HEADLINE:
+        fn, _ = DQ.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def bench_crawl(spark) -> dict:
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        images = fixtures.images_table(spark, n=N_IMAGES, small=True).cache()
+        images.count()
+        frontier = fixtures.frontier_table(spark, n=FRONTIER_ROWS, n_images=N_IMAGES)
+        robots = fixtures.robots_table(spark)
+        eng = CrawlEngine(spark, root, images=images, robots=robots,
+                          top_k=TOP_K, salts=16)
+        eng.bootstrap(frontier, fixtures.url_seen_table(spark, frontier))
+        warm = eng.run_epoch()  # JIT/code-gen warmup epoch, untimed
+        t0 = time.time()
+        popped = fetched = 0
+        for _ in range(EPOCHS):
+            r = eng.run_epoch()
+            popped += r.popped
+            fetched += r.fetched_ok
+        wall = time.time() - t0
+        return {
+            "frontier_rows": FRONTIER_ROWS,
+            "epochs_timed": EPOCHS,
+            "popped": popped,
+            "fetched": fetched,
+            "wall_sec": round(wall, 2),
+            "pops_plus_fetched_per_sec": round((popped + fetched) / wall, 1),
+            "frontier_rows_scanned_per_sec": round(FRONTIER_ROWS * EPOCHS / wall, 0),
+            "warmup_epoch_sec": round(warm.wall_s, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    # tiny warmup action (JVM/codegen)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = bench_queries(spark, sf_dir)
+    crawl = {} if os.environ.get("BENCH_SKIP_CRAWL") else bench_crawl(spark)
+
+    total = round(sum(queries.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": int(cpus),
+        "crawl": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,16 +58,20 @@ def pixels_for(i: int, w: int, h: int) -> np.ndarray:
     return img.astype(np.uint8)
 
 
-def dims_for(i: int) -> tuple[int, int, str]:
+def dims_for(i: int, small: bool = False) -> tuple[int, int, str]:
     rng = np.random.default_rng(SEED * 7 + i)
-    w = _W_CHOICES[int(rng.integers(0, len(_W_CHOICES)))]
-    h = _H_CHOICES[int(rng.integers(0, len(_H_CHOICES)))]
+    w_choices = _W_CHOICES[:2] if small else _W_CHOICES
+    h_choices = _H_CHOICES[:2] if small else _H_CHOICES
+    w = w_choices[int(rng.integers(0, len(w_choices)))]
+    h = h_choices[int(rng.integers(0, len(h_choices)))]
     fmt = "png" if rng.integers(0, 2) == 0 else "jpeg"
     return w, h, fmt
 
 
-def make_image_row(i: int) -> dict:
-    w, h, fmt = dims_for(i)
+def make_image_row(i: int, small: bool = False) -> dict:
+    """``small=True``: bench-scale payloads (≤160px) so a 100k-fetch epoch's
+    materialized bytes stay in executor memory at sandbox heap sizes."""
+    w, h, fmt = dims_for(i, small=small)
     px = pixels_for(i, w, h)
     return {
         "image_id": f"img-{i:08d}",
@@ -80,12 +84,12 @@ def make_image_row(i: int) -> dict:
     }
 
 
-def images_table(spark: SparkSession, n: int = 2000) -> DataFrame:
+def images_table(spark: SparkSession, n: int = 2000, small: bool = False) -> DataFrame:
     """Distributed deterministic image generation (mapInPandas over range)."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_image_row(int(i)) for i in pdf["id"]]
+            rows = [make_image_row(int(i), small=small) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return (

@@ -441,6 +441,87 @@ FROM feat f JOIN documents d USING (doc_id)
 """
 
 
+def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J5: sparse TF-IDF cosine pairs ≥ 0.25 over a fixed document slice
+    (smooth idf, L2 norm, hot-term pruning at df ≤ N/2 — the engine's
+    inverted-index plan vs the oracle's CTE replication)."""
+    from ..operators import similarity
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    vec = similarity.tfidf_vectors(docs, "doc_id", F.col("text"),
+                                   max_df_ratio=0.5)
+    pairs = similarity.cosine_pairs(vec)
+    return (
+        pairs.withColumn("score4", F.round(F.col("score"), 4))
+        .where(F.col("score4") >= 0.25)
+        .select("a", "b", "score4")
+    )
+
+
+SQL_SIMILARITY_PAIRS = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+tf AS (
+  SELECT doc_id, t.tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM corpus, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY doc_id, t.tok
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+kept AS (
+  SELECT term, df FROM df, n WHERE df <= CAST(greatest(n.n_docs * 0.5, 1) AS BIGINT)
+),
+weighted AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + n.n_docs) / (1.0 + kept.df)) + 1.0) AS w
+  FROM tf JOIN kept USING (term), n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM weighted GROUP BY doc_id),
+vec AS (
+  SELECT w.doc_id, w.term, w.w / norms.nrm AS weight
+  FROM weighted w JOIN norms USING (doc_id)
+)
+SELECT a, b, score4 FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(SUM(x.weight * y.weight), 4) AS score4
+  FROM vec x JOIN vec y ON x.term = y.term
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+) WHERE score4 >= 0.25
+"""
+
+
+def q_metapost_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: sibling-cluster aggregation shape — bool-AND over members,
+    deterministic md5 version hash of sorted member ids, argmax member —
+    over synthetic clusters (doc_id % 40) of a fixed documents slice."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    m = docs.withColumn("cluster", (F.col("doc_id") % 40).cast("int"))
+    return m.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.col("doc_id").cast("string"))))).alias("version_hash"),
+        F.bool_and(F.col("n_chars") < 300).alias("all_short"),
+        F.pmod(F.max(F.col("n_chars") * 1000000 + F.col("doc_id")),
+               F.lit(1000000)).alias("top_doc_id"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+SQL_METAPOST_AGG = """
+SELECT (doc_id % 40)::INT AS cluster,
+       COUNT(*) AS n_members,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR)) AS version_hash,
+       bool_and(n_chars < 300) AS all_short,
+       MAX(n_chars * 1000000 + doc_id) % 1000000 AS top_doc_id,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents WHERE doc_id < 200
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # classic scan/agg/join/window coverage (S8/S9, F2, J3, A-aggs, W1, T2, K1)
 
@@ -569,6 +650,40 @@ SELECT user_id, event_id, event_type FROM (
 """
 
 
+def q_order_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 date-range expansion (parse_dates analog): explode a closed date
+    range into a spine, left-join daily order counts (gap days stay with 0)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.to_date(F.lit("1997-01-01")),
+                             F.to_date(F.lit("1997-02-28")))).alias("day"))
+    daily = (
+        o.where((F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") <= "1997-02-28"))
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+
+
+SQL_ORDER_DATE_SPINE = """
+WITH spine AS (
+  SELECT CAST(d.g AS DATE) AS day
+  FROM generate_series(DATE '1997-01-01', DATE '1997-02-28', INTERVAL 1 DAY) AS d(g)
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <= TIMESTAMP '1997-02-28 00:00:00'
+  GROUP BY 1
+)
+SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
 def q_wordcount_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2/A5 + F-predicates: reference wordcount semantics (space-split) as a
     filter + projection over documents."""
@@ -604,6 +719,9 @@ QUERIES: dict[str, tuple] = {
     # embedding similarity
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    # NLP layer
+    "similarity_pairs": (q_similarity_pairs, SQL_SIMILARITY_PAIRS),
+    "metapost_agg": (q_metapost_agg, SQL_METAPOST_AGG),
     # text analysis
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -613,5 +731,6 @@ QUERIES: dict[str, tuple] = {
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS),
     "daily_events": (q_daily_events, SQL_DAILY_EVENTS),
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT),
+    "order_date_spine": (q_order_date_spine, SQL_ORDER_DATE_SPINE),
     "wordcount_filter": (q_wordcount_filter, SQL_WORDCOUNT),
 }

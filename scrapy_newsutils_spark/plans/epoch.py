@@ -58,6 +58,7 @@ class CrawlEngine:
     epoch_budget_ms: int = politeness.DEFAULT_EPOCH_BUDGET_MS
     salts: int = 16
     use_bloom: bool = True
+    compact_every: int = 16  # frontier delete-deltas before MoR compaction
     history: list[EpochResult] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -65,6 +66,12 @@ class CrawlEngine:
         self.url_seen_t = SnapshotTable(os.path.join(self.root, "url_seen"), schemas.URL_SEEN)
         self.fetched_t = SnapshotTable(os.path.join(self.root, "fetched"), schemas.FETCHED)
         self.metrics_t = SnapshotTable(os.path.join(self.root, "metrics"), schemas.METRICS)
+        # Bloom sidecar state: built lazily from url_seen, extended
+        # incrementally per epoch (driver holds the bitmap; a fresh engine —
+        # i.e. a resumed job — rebuilds it from the table).
+        self._bloom: dedup.PyBloom | None = None
+        self._bloom_capacity = 0
+        self._bloom_inserted = 0
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, frontier_df: DataFrame, url_seen_df: DataFrame | None = None) -> None:
@@ -100,6 +107,27 @@ class CrawlEngine:
                 meta={"epoch": epoch - 1, "recovered": True},
             )
 
+    # -- bloom sidecar ---------------------------------------------------------
+    def _get_bloom(self, seen: DataFrame) -> dedup.PyBloom | None:
+        """Build once from url_seen, then extend incrementally per epoch.
+        Rebuilt when inserts outgrow capacity (fpp would degrade)."""
+        if self._bloom is not None and self._bloom_inserted <= self._bloom_capacity:
+            return self._bloom
+        n_seen = seen.count()
+        # size for this run's growth so per-epoch inserts don't force rebuilds
+        capacity = max(n_seen * 2, n_seen + 64 * self.top_k * 210, 1024)
+        self._bloom = dedup.build_bloom(seen, expected=capacity)
+        self._bloom_capacity = capacity
+        self._bloom_inserted = n_seen
+        return self._bloom
+
+    def _bloom_add(self, keys) -> None:
+        if self._bloom is not None and len(keys):
+            import numpy as np
+
+            self._bloom.add_many(np.asarray(keys, dtype=np.int64))
+            self._bloom_inserted += len(keys)
+
     # -- one epoch -----------------------------------------------------------
     def run_epoch(self) -> EpochResult:
         spark = self.spark
@@ -116,7 +144,8 @@ class CrawlEngine:
 
         # 2. URL-seen membership (epoch-level: state table vs this batch)
         if self.use_bloom:
-            fresh = dedup.new_urls_bloom(spark, popped, seen)
+            fresh = dedup.new_urls_bloom(spark, popped, seen,
+                                         bloom=self._get_bloom(seen))
         else:
             fresh = dedup.exact_new_urls(popped, seen)
 
@@ -137,42 +166,15 @@ class CrawlEngine:
             fetch_ops.denied_rows(polite, epoch)
         ).cache()
 
-        # counters (single pass over the cached frames)
+        # counters — one aggregation job per cached frame
         n_popped = popped.count()
-        n_fresh = polite.count()
+        by_polite = {r["polite_status"]: r["n"] for r in
+                     polite.groupBy("polite_status").agg(F.count("*").alias("n")).collect()}
+        n_fresh = sum(by_polite.values())
         n_dedup_dropped = n_popped - n_fresh
-        by_status = {r["status"]: r["n"] for r in
-                     fetched.groupBy("status").agg(F.count("*").alias("n")).collect()}
-        n_ok = by_status.get("ok", 0) + by_status.get("missing", 0)
-        n_denied = by_status.get("robots_denied", 0)
-        n_deferred = polite.where(F.col("polite_status") == "deferred").count()
-
-        # 5. commits (dependency order; frontier last carries the epoch)
-        self.fetched_t.append(fetched, meta={"epoch": epoch})
-
-        attempted = polite.where(F.col("polite_status") != "deferred")
-        self.url_seen_t.append(dedup.seen_updates(attempted, epoch),
-                               meta={"epoch": epoch})
-
-        # frontier': remove attempted rows; deferred + dup rows stay queued.
-        # (dup rows are removed too — they are seen, never to be fetched)
-        remove = popped.join(
-            polite.where(F.col("polite_status") == "deferred").select("url_key"),
-            "url_key", "left_anti",
-        )
-        new_frontier = frontier_ops.remove_popped(frontier, remove)
-        fv = self.frontier_t.overwrite(
-            new_frontier,
-            meta={
-                "epoch": epoch,
-                "url_seen_version": self.url_seen_t.current_version(),
-                "fetched_version": self.fetched_t.current_version(),
-            },
-            expected_version=frontier_v,
-        )
-
-        # per-partition lineage/metrics rows (north rule)
-        metrics = (
+        n_deferred = by_polite.get("deferred", 0)
+        # per-partition lineage rows double as the status counters — one job
+        part_rows = (
             fetched.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(
@@ -181,10 +183,49 @@ class CrawlEngine:
                 F.sum(F.when(F.col("status") != "robots_denied", 1).otherwise(0)).alias("fetched"),
                 F.sum(F.when(F.col("status") == "robots_denied", 1).otherwise(0)).alias("robots_denied"),
             )
-            .withColumn("epoch", F.lit(epoch))
-            .withColumn("dedup_dropped", F.lit(n_dedup_dropped).cast("long"))
-            .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
-            .select([f.name for f in schemas.METRICS.fields])
+            .collect()
+        )
+        n_ok = int(sum(r["fetched"] for r in part_rows))
+        n_denied = int(sum(r["robots_denied"] for r in part_rows))
+
+        # 5. commits (dependency order; frontier last carries the epoch)
+        self.fetched_t.append(fetched, meta={"epoch": epoch})
+
+        attempted = polite.where(F.col("polite_status") != "deferred")
+        seen_upd = dedup.seen_updates(attempted, epoch)
+        self.url_seen_t.append(seen_upd, meta={"epoch": epoch})
+        if self.use_bloom:
+            # Arrow path — Row-object collect() is ~10x slower driver-side
+            self._bloom_add(
+                seen_upd.select("url_key").toPandas()["url_key"].to_numpy())
+
+        # frontier': remove attempted + duplicate rows (deferred stay queued)
+        # as a merge-on-read delete delta — O(popped), never O(frontier).
+        remove = popped.join(
+            polite.where(F.col("polite_status") == "deferred").select("url_key"),
+            "url_key", "left_anti",
+        )
+        fv = self.frontier_t.delete_by_keys(
+            remove.select("url_key"), ["url_key"],
+            meta={
+                "epoch": epoch,
+                "url_seen_version": self.url_seen_t.current_version(),
+                "fetched_version": self.fetched_t.current_version(),
+            },
+            expected_version=frontier_v,
+        )
+        if self.frontier_t.n_delete_deltas() >= self.compact_every:
+            fv = self.frontier_t.compact(spark, meta={"epoch": epoch, "compaction": True})
+
+        # per-partition lineage/metrics rows (north rule) — already collected
+        wall_ms = int((time.time() - t0) * 1000)
+        metrics = spark.createDataFrame(
+            [
+                (epoch, r["partition_id"], r["host_group"], r["popped"],
+                 r["fetched"], r["robots_denied"], int(n_dedup_dropped), wall_ms)
+                for r in part_rows
+            ],
+            schemas.METRICS,
         )
         self.metrics_t.append(metrics, meta={"epoch": epoch})
 

@@ -1,0 +1,195 @@
+"""HTML parse stage: link extraction + article parse + logo heuristic
+(S2/S3/S4/S6) — pure-Python parsing over fetched HTML, Arrow-batched.
+
+Reference behaviour:
+- link extraction: per-post-type XPath ``LinkExtractor(restrict_xpaths)``
+  rules built from the ``post_texts`` map
+  (/root/reference/src/newsutils/crawl/spiders.py:44-58,88-91);
+- article parse: newspaper3k download/parse/nlp → title, text, keywords,
+  publish date, images, authors (crawl/spiders.py:95-140);
+- image scan: XPath ``post_images`` with newspaper fallback, first hit =
+  top_image (crawl/spiders.py:142-161);
+- logo scan: 3-case heuristic — <a><img src*=logo>, homepage <a> wrapping
+  an <img>, link/img with logo-ish class/title/alt
+  (/root/reference/src/newsutils/logo.py:5-91).
+
+This container has no lxml/newspaper3k, so parsing is stdlib
+``html.parser`` — a real, deterministic implementation of the same
+*semantics* (CSS-path restriction approximated by section-class matching).
+Everything runs inside ``mapInPandas`` batches; one page never touches the
+driver.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+@dataclass
+class PageFacts:
+    title: str = ""
+    text_parts: list[str] = field(default_factory=list)
+    links: list[tuple[str, str]] = field(default_factory=list)  # (url, section)
+    images: list[str] = field(default_factory=list)
+    logo: str | None = None
+    meta: dict[str, str] = field(default_factory=dict)
+
+
+class _Extractor(HTMLParser):
+    """Single-pass extractor keeping a class-section stack so links/images
+    can be attributed to page sections (the restrict_xpaths analog)."""
+
+    _TEXT_TAGS = {"p", "h1", "h2", "h3", "li", "blockquote"}
+    _SKIP = {"script", "style", "noscript"}
+
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base = base_url
+        self.out = PageFacts()
+        self._stack: list[str] = []
+        self._text_depth = 0
+        self._title_depth = 0
+        self._skip_depth = 0
+        self._in_anchor: str | None = None
+
+    def _section(self) -> str:
+        for cls in reversed(self._stack):
+            if cls:
+                return cls
+        return ""
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        cls = (a.get("class") or "").strip().split(" ")[0] if a.get("class") else ""
+        if tag in ("div", "section", "article", "nav", "aside", "main"):
+            self._stack.append(cls)
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        if tag == "title":
+            self._title_depth += 1
+        if tag in self._TEXT_TAGS:
+            self._text_depth += 1
+        if tag == "a" and a.get("href"):
+            url = urljoin(self.base, a["href"])
+            self.out.links.append((url, self._section()))
+            self._in_anchor = a["href"]
+        if tag == "img" and a.get("src"):
+            src = urljoin(self.base, a["src"])
+            self.out.images.append(src)
+            if self.out.logo is None and _looks_like_logo(
+                    src, a, self._in_anchor, self.base):
+                self.out.logo = src
+        if tag == "meta" and a.get("property") and a.get("content"):
+            self.out.meta[a["property"]] = a["content"]
+
+    def handle_endtag(self, tag):
+        if tag in ("div", "section", "article", "nav", "aside", "main") and self._stack:
+            self._stack.pop()
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+        if tag == "title" and self._title_depth:
+            self._title_depth -= 1
+        if tag in self._TEXT_TAGS and self._text_depth:
+            self._text_depth -= 1
+        if tag == "a":
+            self._in_anchor = None
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._title_depth and not self.out.title:
+            self.out.title = data.strip()
+        elif self._text_depth:
+            s = data.strip()
+            if s:
+                self.out.text_parts.append(s)
+
+
+_LOGO_RE = re.compile(r"logo", re.IGNORECASE)
+
+
+def _looks_like_logo(src: str, attrs: dict, anchor_href: str | None,
+                     base_url: str) -> bool:
+    """The reference's 3-case logo heuristic (logo.py:5-91):
+    1. <img src contains 'logo'> (inside any <a>);
+    2. <a href=homepage> wrapping an <img>;
+    3. img class/title/alt mentioning logo."""
+    if _LOGO_RE.search(src):
+        return True
+    if anchor_href in ("/", base_url, base_url.rstrip("/") + "/"):
+        return True
+    for k in ("class", "title", "alt", "id"):
+        v = attrs.get(k)
+        if v and _LOGO_RE.search(v):
+            return True
+    return False
+
+
+def parse_page(html: str, base_url: str,
+               post_sections: dict[str, str] | None = None) -> dict:
+    """Parse one fetched page → article facts + typed outlinks.
+
+    ``post_sections``: post_type → section-class (the post_texts XPath map
+    re-expressed as class selectors); links found under a matching section
+    get that type, others type ''."""
+    p = _Extractor(base_url)
+    try:
+        p.feed(html or "")
+    except Exception:
+        pass
+    facts = p.out
+    sec_to_type = {v: k for k, v in (post_sections or {}).items()}
+    outlinks = [
+        {"url": u, "link_type": sec_to_type.get(sec, "")}
+        for u, sec in facts.links
+    ]
+    return {
+        "title": facts.meta.get("og:title", facts.title),
+        "text": " ".join(facts.text_parts),
+        "images": facts.images,
+        "top_image": facts.meta.get("og:image",
+                                    facts.images[0] if facts.images else None),
+        "logo": facts.logo,
+        "outlinks": outlinks,
+        "publish_time": facts.meta.get("article:published_time"),
+    }
+
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("images", T.ArrayType(T.StringType())),
+    T.StructField("top_image", T.StringType()),
+    T.StructField("logo", T.StringType()),
+    T.StructField("publish_time", T.StringType()),
+    T.StructField("outlinks", T.ArrayType(T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("link_type", T.StringType()),
+    ]))),
+])
+
+
+def parse_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html",
+                post_sections: dict[str, str] | None = None) -> DataFrame:
+    """mapInPandas article-parse stage: (url, html) → PARSED_SCHEMA rows.
+    The S2 frontier-growth path is ``explode(outlinks)`` downstream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                d = parse_page(r[html_col], r[url_col], post_sections)
+                d["url"] = r[url_col]
+                out.append(d)
+            yield pd.DataFrame(out, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, PARSED_SCHEMA)

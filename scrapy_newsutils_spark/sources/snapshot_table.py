@@ -64,18 +64,29 @@ class SnapshotTable:
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v == 0:
-            return {"version": 0, "dirs": [], "meta": {}}
+            return {"version": 0, "dirs": [], "meta": {}, "deletes": []}
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
     # -- read -----------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current table state = base data dirs minus delete deltas
+        (merge-on-read: equality deletes applied as one anti-join at read
+        time — Iceberg MoR semantics; see ``delete_by_keys``)."""
         m = self.manifest(version)
         if not m["dirs"]:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(
+        df = spark.read.schema(self.schema).parquet(
             *[os.path.join(self.path, d) for d in m["dirs"]]
         )
+        deletes = m.get("deletes", [])
+        if deletes:
+            key_cols = deletes[0]["keys"]
+            keys = spark.read.parquet(
+                *[os.path.join(self.path, d["dir"]) for d in deletes]
+            )
+            df = df.join(keys, key_cols, "left_anti")
+        return df
 
     # -- write ----------------------------------------------------------------
     def _write_data(self, df: DataFrame) -> str:
@@ -84,7 +95,8 @@ class SnapshotTable:
         return d
 
     def _commit_manifest(self, dirs: list[str], meta: dict,
-                         expected_version: int | None) -> int:
+                         expected_version: int | None,
+                         deletes: list[dict] | None = None) -> int:
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
             raise CommitConflict(
@@ -96,6 +108,7 @@ class SnapshotTable:
             "parent": cur,
             "dirs": dirs,
             "meta": meta,
+            "deletes": deletes or [],
             "committed_at": time.time(),
         }
         mpath = self._manifest_path(new_v)
@@ -122,8 +135,37 @@ class SnapshotTable:
         """Fast append: keep previous data dirs, add one (merge-on-read
         flavour — right for high-churn append-mostly tables like metrics)."""
         d = self._write_data(df)
-        prev = self.manifest()["dirs"]
-        return self._commit_manifest(prev + [d], meta or {}, expected_version)
+        m = self.manifest()
+        return self._commit_manifest(m["dirs"] + [d], meta or {},
+                                     expected_version, m.get("deletes", []))
+
+    def delete_by_keys(self, keys: DataFrame, key_cols: list[str],
+                       meta: dict | None = None,
+                       expected_version: int | None = None) -> int:
+        """Merge-on-read equality delete: commit a tiny delta of keys; rows
+        matching any committed delete key disappear from ``read``.
+
+        THE high-churn path at frontier scale — popping 10^5 URLs from a
+        10^10-row frontier must not rewrite the frontier (copy-on-write of
+        the base is O(table); this is O(delta)). NOTE: deletes apply to the
+        whole table state, including later appends with the same key —
+        frontier semantics guarantee popped keys are never re-inserted
+        (they live in url_seen from then on). Compact with ``compact()``
+        when the delete set grows past ~10% of base."""
+        d = self._write_data(keys.select(*key_cols).dropDuplicates(key_cols))
+        m = self.manifest()
+        dels = m.get("deletes", []) + [{"dir": d, "keys": key_cols}]
+        if any(e["keys"] != key_cols for e in dels):
+            raise ValueError("all delete deltas of a table must share key_cols")
+        return self._commit_manifest(m["dirs"], meta or {}, expected_version, dels)
+
+    def compact(self, spark: SparkSession, meta: dict | None = None,
+                expected_version: int | None = None) -> int:
+        """Materialize base − deletes into fresh base dirs (MoR compaction)."""
+        return self.overwrite(self.read(spark), meta, expected_version)
+
+    def n_delete_deltas(self) -> int:
+        return len(self.manifest().get("deletes", []))
 
     def merge_upsert(
         self,
@@ -155,7 +197,9 @@ class SnapshotTable:
         live: set[str] = set()
         for v in range(max(1, cur - keep_last + 1), cur + 1):
             try:
-                live.update(self.manifest(v)["dirs"])
+                m = self.manifest(v)
+                live.update(m["dirs"])
+                live.update(e["dir"] for e in m.get("deletes", []))
             except FileNotFoundError:
                 pass
         for entry in os.listdir(self.path):

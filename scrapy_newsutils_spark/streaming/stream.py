@@ -1,0 +1,102 @@
+"""Structured-Streaming surface (SURVEY §2.7): the epoch pipeline as a
+micro-batch stream, plus event-time windowing with a late-data watermark.
+
+Reference mapping:
+- T1 micro-batching: Scrapy pushes items one-at-a-time through pipeline
+  priorities (/root/reference/src/newsutils/conf/posts.py:86-91); here each
+  micro-batch runs the same ordered stages set-wise inside ``foreachBatch``.
+- T2 event-time windows: collection-per-day (crawl/day.py:27-43) becomes
+  ``window(publish_time, '1 day')``.
+- T3 late data: FilterDate drops out-of-window posts (pipelines.py:46-57)
+  → ``withWatermark`` + windowed aggregation drops late rows the same way.
+- T5 checkpoint/resume: ``checkpointLocation`` + the snapshot tables give
+  at-least-once per micro-batch with idempotent MERGE keyed on epoch
+  (exactly-once at the table level).
+
+The streaming source in this sandbox is a file source over a directory of
+discovered-URL parquet drops (a real deployment points the same code at
+Kafka or an Iceberg CDC stream — only ``readStream`` options change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators import dedup, politeness
+from ..sources import fetch as fetch_ops
+from ..sources.snapshot_table import SnapshotTable
+
+
+def read_url_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Streaming source of discovered URLs (FRONTIER-schema parquet drops)."""
+    return (
+        spark.readStream.schema(schemas.FRONTIER)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(drop_dir)
+    )
+
+
+def run_fetch_stream(spark: SparkSession, drop_dir: str, state_root: str,
+                     images: DataFrame, robots: DataFrame,
+                     checkpoint: str, available_now: bool = True):
+    """The crawl pipeline as a stream: each micro-batch = dedup vs the
+    url_seen state table → politeness → fetch join → commit fetched +
+    url_seen. Returns the started StreamingQuery.
+
+    Batch ids are monotonic and replay-stable, so commits keyed on them are
+    idempotent across restarts (foreachBatch may re-deliver a batch)."""
+    import os
+
+    url_seen_t = SnapshotTable(os.path.join(state_root, "url_seen"), schemas.URL_SEEN)
+    fetched_t = SnapshotTable(os.path.join(state_root, "fetched"), schemas.FETCHED)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if int(fetched_t.manifest()["meta"].get("last_batch", -1)) >= batch_id:
+            return  # replayed batch already committed — idempotent skip
+        seen = url_seen_t.read(batch.sparkSession)
+        from pyspark.sql import Window
+
+        from ..operators import frontier as fr_ops
+
+        fresh = dedup.exact_new_urls(batch, seen).withColumn(
+            "pop_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(*fr_ops.pop_order())
+            ),
+        )
+        polite = politeness.with_politeness(fresh, robots)
+        fetched = fetch_ops.execute_fetches(polite, images, epoch=batch_id) \
+            .unionByName(fetch_ops.denied_rows(polite, epoch=batch_id))
+        fetched_t.append(fetched, meta={"last_batch": batch_id})
+        url_seen_t.append(
+            dedup.seen_updates(
+                polite.where(F.col("polite_status") != "deferred"), batch_id),
+            meta={"last_batch": batch_id},
+        )
+
+    writer = (
+        read_url_stream(spark, drop_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_post_counts(posts_stream: DataFrame,
+                         watermark: str = "1 day",
+                         window_len: str = "1 day") -> DataFrame:
+    """T2/T3: per-day tumbling-window post counts with late-data drop."""
+    return (
+        posts_stream.withWatermark("publish_time", watermark)
+        .groupBy(F.window("publish_time", window_len).alias("day_window"),
+                 F.col("type"))
+        .agg(F.count("*").alias("n_posts"))
+        .select(
+            F.to_date(F.col("day_window.start")).alias("day"),
+            "type", "n_posts",
+        )
+    )

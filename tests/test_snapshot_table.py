@@ -1,0 +1,86 @@
+"""SnapshotTable semantics: atomic snapshot flips, time travel, MoR
+equality-delete deltas + compaction, merge upsert, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scrapy_newsutils_spark.sources.snapshot_table import CommitConflict, SnapshotTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType(), False),
+    T.StructField("v", T.StringType(), True),
+])
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"), SCHEMA)
+
+
+def test_time_travel(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    assert table.current_version() == 2
+    assert table.read(spark, version=1).count() == 1
+    assert table.read(spark).count() == 2
+
+
+def test_delete_by_keys_mor(spark, table):
+    table.overwrite(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    table.delete_by_keys(_df(spark, [(3, None), (7, None)]), ["k"])
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    # deltas accumulate
+    table.delete_by_keys(_df(spark, [(0, None)]), ["k"])
+    assert table.n_delete_deltas() == 2
+    assert table.read(spark).count() == 7
+    # time travel still sees the pre-delete state
+    assert table.read(spark, version=1).count() == 10
+
+
+def test_compact_materializes_deletes(spark, table):
+    table.overwrite(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    table.delete_by_keys(_df(spark, [(1, None)]), ["k"])
+    table.compact(spark)
+    assert table.n_delete_deltas() == 0
+    assert table.read(spark).count() == 9
+    assert len(table.manifest()["dirs"]) == 1
+
+
+def test_append_preserves_deletes(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.delete_by_keys(_df(spark, [(1, None)]), ["k"])
+    table.append(_df(spark, [(5, "e")]))
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == [2, 5]
+
+
+def test_merge_upsert(spark, table):
+    table.overwrite(_df(spark, [(1, "old"), (2, "keep")]))
+    table.merge_upsert(spark, _df(spark, [(1, "new"), (3, "ins")]), ["k"])
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_commit_conflict(spark, table):
+    v = table.overwrite(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]), expected_version=v)
+    with pytest.raises(CommitConflict):
+        table.append(_df(spark, [(3, "c")]), expected_version=v)
+
+
+def test_vacuum_keeps_live_and_delete_dirs(spark, table, tmp_path):
+    table.overwrite(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    table.delete_by_keys(_df(spark, [(2, None)]), ["k"])
+    table.vacuum(keep_last=1)
+    # current state must remain readable after vacuum
+    assert table.read(spark).count() == 0  # row 2 deleted, row 1 overwritten away
+    table.vacuum(keep_last=3)
