@@ -79,6 +79,86 @@ class PyBloom:
         return out
 
 
+class PyCuckoo:
+    """Cuckoo filter over int64 keys (numpy buckets): the deletable
+    alternative to Bloom the north rule names. 4-slot buckets, 16-bit
+    fingerprints, partial-key cuckoo hashing (Fan et al. 2014). Supports
+    ``delete_many`` — needed if URL-seen entries ever expire (recrawl TTL),
+    which a Bloom filter cannot do."""
+
+    SLOTS = 4
+
+    def __init__(self, n_items: int, load: float = 0.8):
+        n_buckets = 1 << max(int(n_items / (self.SLOTS * load)), 16).bit_length()
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        fp = (_mix64(keys.view(np.uint64), 0xF1) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 marks empty slots
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (_mix64(keys.view(np.uint64), 0xA5)
+                & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (i ^ _mix64(fp.astype(np.int64), 0xC3).astype(np.int64)) \
+            & (self.n_buckets - 1)
+
+    def add_many(self, keys: np.ndarray, max_kicks: int = 200) -> int:
+        """Insert; returns number of failed (dropped) inserts — callers
+        treat failure as 'rebuild larger', same policy as Bloom overfill."""
+        fps, i1s = self._fp(keys), self._i1(keys)
+        failed = 0
+        for fp, i in zip(fps, i1s):
+            if not self._insert_one(np.uint16(fp), int(i), max_kicks):
+                failed += 1
+        return failed
+
+    def _insert_one(self, fp: np.uint16, i: int, max_kicks: int) -> bool:
+        import random
+
+        rnd = random.Random(int(fp) ^ i)  # deterministic kicks
+        for i_try in (i, int(self._alt(np.array([i]), np.array([fp]))[0])):
+            row = self.table[i_try]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        cur_i, cur_fp = i, fp
+        for _ in range(max_kicks):
+            slot = rnd.randrange(self.SLOTS)
+            cur_fp, self.table[cur_i, slot] = self.table[cur_i, slot], cur_fp
+            cur_i = int(self._alt(np.array([cur_i]), np.array([cur_fp]))[0])
+            row = self.table[cur_i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur_fp
+                return True
+        return False
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        fps, i1s = self._fp(keys), self._i1(keys)
+        alts = self._alt(i1s, fps)
+        in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[alts] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_many(self, keys: np.ndarray) -> int:
+        """Remove one fingerprint copy per present key; returns #deleted."""
+        fps, i1s = self._fp(keys), self._i1(keys)
+        alts = self._alt(i1s, fps)
+        deleted = 0
+        for fp, i1, i2 in zip(fps, i1s, alts):
+            for b in (int(i1), int(i2)):
+                hit = np.nonzero(self.table[b] == fp)[0]
+                if len(hit):
+                    self.table[b, hit[0]] = 0
+                    deleted += 1
+                    break
+        return deleted
+
+
 def build_bloom(seen: DataFrame, key: str = "url_key",
                 expected: int | None = None, fpp: float = 0.01) -> PyBloom | None:
     """Distributed build: per-partition bitmaps, OR-reduced to the driver."""

@@ -36,6 +36,47 @@ from ..sources import fetch as fetch_ops
 from ..sources.snapshot_table import SnapshotTable
 
 
+def _synth_outlinks(ok_rows: DataFrame, fanout: int,
+                    n_images: int = 0) -> DataFrame:
+    """Deterministic synthetic outlinks for fetched pages (the sandbox's S2
+    stand-in; production swaps in sources/parse.py outlink extraction).
+
+    Each page emits ``fanout`` links — alternating same-host (politeness
+    pressure) and hash-picked cross-host — with an equal OPIC cash share of
+    the parent's priority. Pure Column expressions; deterministic under any
+    partitioning (discovered_ts inherits the parent's for replay stability).
+    """
+    j = F.explode(F.sequence(F.lit(1), F.lit(fanout))).alias("j")
+    base = ok_rows.select("url_key", "host", "priority", "depth",
+                          "discovered_ts", j)
+    target_host = F.when(F.col("j") % 2 == 0, F.col("host")).otherwise(
+        F.concat(F.lit("h"),
+                 F.pmod(F.xxhash64("url_key", "j"), F.lit(198)).cast("string"),
+                 F.lit(".example.com")))
+    path = F.concat(
+        F.lit("/d/"),
+        F.pmod(F.xxhash64(F.col("url_key"), F.col("j"), F.lit(7)),
+               F.lit(1_000_000_000)).cast("string"))
+    url = F.concat(F.lit("https://"), target_host, path)
+    surt = F.concat(F.array_join(F.reverse(F.split(target_host, r"\.")), ","),
+                    F.lit(")"), path)
+    image_id = (
+        F.format_string("img-%08d",
+                        F.pmod(F.xxhash64(surt), F.lit(n_images)).cast("int"))
+        if n_images > 0 else F.lit(None).cast("string")
+    )
+    return base.select(
+        url.alias("url"),
+        surt.alias("url_surt"),
+        F.xxhash64(surt).alias("url_key"),
+        target_host.alias("host"),
+        (F.col("priority") / F.lit(float(fanout))).alias("cash"),
+        (F.col("depth") + 1).cast("int").alias("depth"),
+        F.col("discovered_ts"),
+        image_id.alias("image_id"),
+    )
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -59,6 +100,11 @@ class CrawlEngine:
     salts: int = 16
     use_bloom: bool = True
     compact_every: int = 16  # frontier delete-deltas before MoR compaction
+    # link discovery: >0 → each fetched page emits this many synthetic
+    # outlinks (deterministic f(url_key); the sandbox's stand-in for S2
+    # link extraction — swap in sources/parse.py outlinks with real HTML).
+    discovery_fanout: int = 0
+    discovery_images: int = 0  # payload ids assigned to discovered URLs
     history: list[EpochResult] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -66,6 +112,7 @@ class CrawlEngine:
         self.url_seen_t = SnapshotTable(os.path.join(self.root, "url_seen"), schemas.URL_SEEN)
         self.fetched_t = SnapshotTable(os.path.join(self.root, "fetched"), schemas.FETCHED)
         self.metrics_t = SnapshotTable(os.path.join(self.root, "metrics"), schemas.METRICS)
+        self.cash_t = SnapshotTable(os.path.join(self.root, "opic_cash"), schemas.OPIC_CASH)
         # Bloom sidecar state: built lazily from url_seen, extended
         # incrementally per epoch (driver holds the bitmap; a fresh engine —
         # i.e. a resumed job — rebuilds it from the table).
@@ -81,7 +128,13 @@ class CrawlEngine:
             self.url_seen_t.overwrite(url_seen_df, meta={"epoch": 0})
 
     def last_epoch(self) -> int:
-        return int(self.frontier_t.manifest()["meta"].get("epoch", 0))
+        m = self.frontier_t.manifest()["meta"]
+        e = int(m.get("epoch", 0))
+        # a 'discovery' frontier commit precedes the epoch-closing delete
+        # commit — if it is the newest commit, epoch e never closed.
+        if m.get("stage") == "discovery":
+            return e - 1
+        return e
 
     def _recover(self, epoch: int) -> None:
         """Discard partial commits from a crashed epoch.
@@ -91,6 +144,17 @@ class CrawlEngine:
         reached belong to a killed run and are rolled back, so a resumed
         run replays the epoch from identical state (T5)."""
         spark = self.spark
+        fm = self.frontier_t.manifest()
+        if fm["meta"].get("stage") == "discovery" and \
+                int(fm["meta"].get("epoch", 0)) >= epoch:
+            # crash between the discovery append and the epoch-closing
+            # delete: discard the append (deterministic replay re-creates it)
+            self.frontier_t.rollback(int(fm.get("parent", fm["version"] - 1)))
+        if int(self.cash_t.manifest()["meta"].get("epoch", 0)) >= epoch:
+            self.cash_t.overwrite(
+                self.cash_t.read(spark).where(F.col("epoch") < epoch),
+                meta={"epoch": epoch - 1, "recovered": True},
+            )
         if int(self.fetched_t.manifest()["meta"].get("epoch", 0)) >= epoch:
             self.fetched_t.overwrite(
                 self.fetched_t.read(spark).where(F.col("epoch") < epoch),
@@ -114,8 +178,16 @@ class CrawlEngine:
         if self._bloom is not None and self._bloom_inserted <= self._bloom_capacity:
             return self._bloom
         n_seen = seen.count()
-        # size for this run's growth so per-epoch inserts don't force rebuilds
-        capacity = max(n_seen * 2, n_seen + 64 * self.top_k * 210, 1024)
+        # headroom for ~8 epochs of inserts without a rebuild, but hard-cap
+        # the bitmap at ~50M keys (~64 MB): it is broadcast to every python
+        # worker per epoch, and an oversized bitmap costs more in broadcast
+        # than the rebuilds it saves. (At 10^10 keys the filter is
+        # partitioned by pmod(url_key, P) — module docstring in dedup.py —
+        # so no single bitmap ever exceeds this cap.)
+        capacity = min(
+            max(n_seen * 2, n_seen + 8 * self.top_k * 210, 1024),
+            50_000_000,
+        )
         self._bloom = dedup.build_bloom(seen, expected=capacity)
         self._bloom_capacity = capacity
         self._bloom_inserted = n_seen
@@ -199,6 +271,43 @@ class CrawlEngine:
             self._bloom_add(
                 seen_upd.select("url_key").toPandas()["url_key"].to_numpy())
 
+        # link discovery (S2 analog): fetched pages emit outlinks; brand-new
+        # URLs join the frontier with an OPIC cash share as priority,
+        # already-queued targets accumulate cash lazily (applied at
+        # compaction — per-epoch in-place priority updates would rewrite
+        # the whole MoR table).
+        expected_fv = frontier_v
+        if self.discovery_fanout > 0:
+            out = _synth_outlinks(
+                polite.where(F.col("polite_status") == "ok"),
+                self.discovery_fanout, self.discovery_images,
+            ).cache()
+            known = frontier.select("url_key")
+            brand_new = (
+                out.join(known, "url_key", "left_anti")
+                .join(seen.select("url_key"), "url_key", "left_anti")
+                .dropDuplicates(["url_key"])
+            )
+            additions = brand_new.select(
+                "url", "url_surt", "url_key", "host",
+                F.least(F.col("cash"), F.lit(1.0)).alias("priority"),
+                "depth",
+                F.col("discovered_ts"),
+                F.col("image_id"),
+                F.lit(epoch).alias("epoch_added"),
+            )
+            expected_fv = self.frontier_t.append(
+                additions, meta={"epoch": epoch, "stage": "discovery"},
+                expected_version=expected_fv,
+            )
+            queued_cash = (
+                out.join(known, "url_key", "left_semi")
+                .groupBy("url_key").agg(F.sum("cash").alias("cash"))
+                .withColumn("epoch", F.lit(epoch))
+            )
+            self.cash_t.append(queued_cash, meta={"epoch": epoch})
+            out.unpersist()
+
         # frontier': remove attempted + duplicate rows (deferred stay queued)
         # as a merge-on-read delete delta — O(popped), never O(frontier).
         remove = popped.join(
@@ -212,10 +321,10 @@ class CrawlEngine:
                 "url_seen_version": self.url_seen_t.current_version(),
                 "fetched_version": self.fetched_t.current_version(),
             },
-            expected_version=frontier_v,
+            expected_version=expected_fv,
         )
         if self.frontier_t.n_delete_deltas() >= self.compact_every:
-            fv = self.frontier_t.compact(spark, meta={"epoch": epoch, "compaction": True})
+            fv = self._compact_frontier(epoch)
 
         # per-partition lineage/metrics rows (north rule) — already collected
         wall_ms = int((time.time() - t0) * 1000)
@@ -239,6 +348,26 @@ class CrawlEngine:
         )
         self.history.append(res)
         return res
+
+    def _compact_frontier(self, epoch: int) -> int:
+        """MoR compaction + lazy OPIC refresh: materialize base − deletes,
+        fold pending cash into priority (capped at 1.0), clear both deltas."""
+        spark = self.spark
+        fr = self.frontier_t.read(spark)
+        cash = self.cash_t.read(spark).groupBy("url_key").agg(
+            F.sum("cash").alias("_cash"))
+        merged = (
+            fr.join(cash, "url_key", "left")
+            .withColumn("priority",
+                        F.least(F.col("priority") + F.coalesce("_cash", F.lit(0.0)),
+                                F.lit(1.0)))
+            .drop("_cash")
+            .select([f.name for f in schemas.FRONTIER.fields])
+        )
+        fv = self.frontier_t.overwrite(merged, meta={"epoch": epoch,
+                                                     "compaction": True})
+        self.cash_t.overwrite(self.cash_t.empty(spark), meta={"epoch": epoch})
+        return fv
 
     def run(self, epochs: int) -> list[EpochResult]:
         out = []

@@ -159,6 +159,17 @@ FETCHED = T.StructType(
     ]
 )
 
+# opic_cash — pending OPIC priority contributions for already-queued URLs;
+# folded into `priority` lazily at frontier compaction (updating rows in a
+# 10^10-row MoR table per epoch would be an O(table) rewrite).
+OPIC_CASH = T.StructType(
+    [
+        T.StructField("url_key", T.LongType(), False),
+        T.StructField("cash", T.DoubleType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
+    ]
+)
+
 # metrics — per-partition lineage + metrics rows (north rule)
 METRICS = T.StructType(
     [

@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: broadcast hash relations cost ~10x their serialized size in
+        # JVM object overhead — a 64 MB threshold let multi-million-key
+        # anti-join sides become ~0.5 GB driver-built relations.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

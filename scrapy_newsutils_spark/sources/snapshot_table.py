@@ -191,6 +191,26 @@ class SnapshotTable:
         merged = keep.unionByName(batch.dropDuplicates(key_cols))
         return self.overwrite(merged, meta, expected_version)
 
+    def rollback(self, version: int) -> None:
+        """Reset CURRENT to an earlier snapshot (data dirs are immutable, so
+        this is metadata-only — used by crash recovery to discard a
+        partially-applied multi-commit epoch)."""
+        cur = self.current_version()
+        if version > cur:
+            raise ValueError("cannot roll forward")
+        fd, tmp = tempfile.mkstemp(dir=self._snap_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.rename(tmp, self._current_file())
+        # drop the dead-branch manifests so future commits can reuse their
+        # version numbers (data dirs stay — they may be shared with live
+        # snapshots; vacuum handles orphans)
+        for v in range(version + 1, cur + 1):
+            try:
+                os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+
     def vacuum(self, keep_last: int = 3) -> None:
         """Drop data dirs unreferenced by the last ``keep_last`` snapshots."""
         cur = self.current_version()

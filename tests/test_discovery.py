@@ -1,0 +1,144 @@
+"""Link discovery + OPIC cash (S2-analog, frontier growth) and the cuckoo
+filter variant of the URL-seen sidecar."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark import fixtures
+from scrapy_newsutils_spark.operators import dedup
+from scrapy_newsutils_spark.plans.epoch import CrawlEngine, _synth_outlinks
+
+
+# -- cuckoo filter -------------------------------------------------------------
+
+def test_cuckoo_membership_and_delete():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-(2**62), 2**62, size=30_000, dtype=np.int64)
+    cf = dedup.PyCuckoo(len(keys))
+    failed = cf.add_many(keys)
+    assert failed == 0
+    assert bool(cf.contains_many(keys).all())
+    probe = rng.integers(-(2**62), -1, size=30_000, dtype=np.int64)
+    fpr = cf.contains_many(probe).mean()
+    assert fpr < 0.01, fpr  # 16-bit fingerprints → ~2^-13 per bucket pair
+    # deletion — the capability Bloom lacks
+    victims = keys[:1000]
+    assert cf.delete_many(victims) == 1000
+    assert cf.contains_many(victims).mean() < 0.01
+    assert bool(cf.contains_many(keys[1000:]).all())
+
+
+# -- synthetic outlink generation ----------------------------------------------
+
+def test_synth_outlinks_deterministic(spark, frontier_df):
+    ok = frontier_df.limit(20).withColumn("pop_rank", F.lit(1))
+    a = _synth_outlinks(ok, fanout=4, n_images=200).collect()
+    b = _synth_outlinks(ok.repartition(7), fanout=4, n_images=200).collect()
+    assert sorted(r["url_key"] for r in a) == sorted(r["url_key"] for r in b)
+    assert len(a) == 80
+    for r in a:
+        assert r["url"].startswith("https://")
+        assert r["url_surt"].endswith(r["url"].split("/d/")[-1])
+        assert r["depth"] >= 1
+        assert 0 < r["cash"] <= 0.25
+        assert r["image_id"].startswith("img-")
+
+
+# -- discovery epoch loop ------------------------------------------------------
+
+@pytest.fixture()
+def disco_engine(spark, tmp_path, frontier_df, images_df, robots_df):
+    eng = CrawlEngine(spark, str(tmp_path / "state"), images=images_df,
+                      robots=robots_df, top_k=4, salts=4,
+                      discovery_fanout=3, discovery_images=200,
+                      compact_every=2)
+    eng.bootstrap(frontier_df)
+    return eng
+
+
+def test_discovery_grows_frontier(spark, disco_engine, frontier_df):
+    n0 = frontier_df.count()
+    r1 = disco_engine.run_epoch()
+    frontier = disco_engine.frontier_t.read(spark)
+    n1 = frontier.count()
+    # removed attempted rows, added ~3 per fetched page
+    assert n1 > n0 - (r1.popped - r1.deferred)
+    added = frontier.where(F.col("epoch_added") == 1)
+    assert added.count() > 0
+    assert added.where(F.col("depth") < 1).count() == 0
+    # no discovered URL duplicates an existing frontier key
+    assert frontier.groupBy("url_key").count().where(F.col("count") > 1).count() == 0
+
+
+def test_discovered_urls_get_fetched_later(spark, disco_engine):
+    disco_engine.run(3)
+    fetched = disco_engine.fetched_t.read(spark)
+    assert fetched.where(F.col("url").contains("/d/")).count() > 0
+    # still no double-fetch
+    assert fetched.count() == fetched.select("url_key").distinct().count()
+
+
+def test_compaction_applies_opic_cash(spark, disco_engine):
+    disco_engine.run(2)  # compact_every=2 → compaction ran at epoch 2
+    m = disco_engine.frontier_t.manifest()["meta"]
+    assert m.get("compaction") is True
+    assert disco_engine.frontier_t.n_delete_deltas() == 0
+    assert disco_engine.cash_t.read(spark).count() == 0
+    # priorities stayed within [0, 1]
+    bad = disco_engine.frontier_t.read(spark).where(
+        (F.col("priority") < 0) | (F.col("priority") > 1.0)).count()
+    assert bad == 0
+
+
+def test_discovery_resume_identical(spark, tmp_path, frontier_df, images_df,
+                                    robots_df):
+    def mk(name):
+        eng = CrawlEngine(spark, str(tmp_path / name), images=images_df,
+                          robots=robots_df, top_k=4, salts=4,
+                          discovery_fanout=3, discovery_images=200)
+        eng.bootstrap(frontier_df)
+        return eng
+
+    a = mk("a"); a.run(3)
+    b = mk("b"); b.run(1)
+    b2 = CrawlEngine(spark, str(tmp_path / "b"), images=images_df,
+                     robots=robots_df, top_k=4, salts=4,
+                     discovery_fanout=3, discovery_images=200)
+    b2.run(2)
+    for attr in ("frontier_t", "url_seen_t", "fetched_t"):
+        ka = sorted(r["url_key"] for r in
+                    getattr(a, attr).read(spark).select("url_key").collect())
+        kb = sorted(r["url_key"] for r in
+                    getattr(b2, attr).read(spark).select("url_key").collect())
+        assert ka == kb, attr
+
+
+def test_discovery_crash_between_append_and_delete(spark, tmp_path,
+                                                   frontier_df, images_df,
+                                                   robots_df):
+    """Simulate a crash after the discovery append but before the epoch-
+    closing delete: the replay must discard the orphan append (rollback)
+    and converge to the uninterrupted result."""
+    eng = CrawlEngine(spark, str(tmp_path / "c"), images=images_df,
+                      robots=robots_df, top_k=4, salts=4,
+                      discovery_fanout=3, discovery_images=200)
+    eng.bootstrap(frontier_df)
+    eng.run(1)
+    # forge the partial epoch-2: discovery append only
+    orphan = eng.frontier_t.read(spark).limit(5) \
+        .withColumn("epoch_added", F.lit(2)) \
+        .withColumn("url_key", F.col("url_key") + 999)
+    eng.frontier_t.append(orphan, meta={"epoch": 2, "stage": "discovery"})
+
+    eng2 = CrawlEngine(spark, str(tmp_path / "c"), images=images_df,
+                       robots=robots_df, top_k=4, salts=4,
+                       discovery_fanout=3, discovery_images=200)
+    assert eng2.last_epoch() == 1  # discovery-stage commit doesn't close an epoch
+    eng2.run_epoch()
+    fr = eng2.frontier_t.read(spark)
+    # orphan rows are gone; epoch-2 additions are the replayed (real) ones
+    assert fr.where(F.col("url_key").isin(
+        [r["url_key"] for r in orphan.collect()])).count() == 0
