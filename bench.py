@@ -101,6 +101,12 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)  # latest scripts/scaling_bench.py result
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -109,6 +115,7 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "crawl": crawl,
+        "scaling": scaling,
     }))
 
 
