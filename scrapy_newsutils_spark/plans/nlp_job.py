@@ -1,0 +1,123 @@
+"""The reference's `scrapy nlp [similarity|summary|metapost]` day job as
+chained DataFrame plans (§3.2 — /root/reference/src/newsutils/nlp.py:76-100).
+
+DayNlp loads a day's posts, fits TF-IDF once, then per verb:
+save_similarity (J5/J6/W1 → siblings/related columns), save_summary
+(U2 models → summary/caption/category), save_metapost (J4/A2/A3 →
+metapost rows upserted matched on (version, type) — nlp.py:250-265).
+
+Everything is one day-partition scan + joins; models never touch the
+driver (iterator pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators import metapost, pipeline, similarity, summarize
+from ..sources.snapshot_table import SnapshotTable
+
+
+def day_posts(spark: SparkSession, posts_table: SnapshotTable,
+              day: dt.date) -> DataFrame:
+    """S8: partition-pruned day scan, metaposts excluded from NLP input
+    (F3 — conf/mixins.py:118-133)."""
+    posts = posts_table.read(spark).where(
+        F.to_date("publish_time") == day.isoformat())
+    return pipeline.filter_metapost(posts)
+
+
+def save_similarity(spark: SparkSession, posts_table: SnapshotTable,
+                    day: dt.date,
+                    siblings_threshold: float = similarity.SIBLINGS_THRESHOLD,
+                    related_threshold: float = similarity.RELATED_THRESHOLD,
+                    top_n: int = similarity.MAX_DOCS) -> int:
+    """J5/J6/W1: similarity edges → disjoint bands → top-n → per-post
+    sibling/related lists merged back into the day's rows."""
+    posts = day_posts(spark, posts_table, day).cache()
+    vec = similarity.tfidf_vectors(posts, "post_id", similarity.get_post_text())
+    edges = similarity.mirror_pairs(
+        similarity.cosine_pairs(vec, min_score=related_threshold))
+    banded = similarity.banded_top_n(edges, siblings_threshold,
+                                     related_threshold, top_n)
+    lists = similarity.similarity_lists(banded)
+    updated = (
+        posts.drop("siblings", "related")
+        .join(lists, "post_id", "left")
+        .withColumn("siblings", F.coalesce(
+            "siblings", F.array().cast(schemas.POSTS["siblings"].dataType)))
+        .withColumn("related", F.coalesce(
+            "related", F.array().cast(schemas.POSTS["related"].dataType)))
+        .select([f.name for f in schemas.POSTS.fields])
+    )
+    posts_table.merge_upsert(spark, updated, key_cols=["post_id"])
+    posts.unpersist()
+    return updated.count()
+
+
+def save_summary(spark: SparkSession, posts_table: SnapshotTable,
+                 day: dt.date) -> int:
+    """U2: summary/caption/category columns written for the day's posts."""
+    posts = day_posts(spark, posts_table, day)
+    updated = summarize.save_summary(
+        posts, text_expr=similarity.get_post_text()
+    ).select([f.name for f in schemas.POSTS.fields])
+    posts_table.merge_upsert(spark, updated, key_cols=["post_id"])
+    return updated.count()
+
+
+def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
+                  day: dt.date, baseurl: str = "https://meta.example.com",
+                  start_time: dt.datetime | None = None) -> int:
+    """J4/A2/A3: metapost rows built from sibling clusters and upserted.
+
+    Reference matches existing metaposts on (version=lookup_version, type)
+    (nlp.py:250-265); the engine's version_hash is deterministic, so the
+    upsert key is post_id = xxhash64(version_hash) — same idempotency:
+    re-running over unchanged clusters rewrites identical rows."""
+    posts = day_posts(spark, posts_table, day)
+    mp = metapost.build_metaposts(posts, baseurl=baseurl,
+                                  start_time=start_time)
+    summarized = mp.withColumn(
+        "summary", summarize.summary_udf(F.col("member_text"))
+    ).withColumn("caption", summarize.caption_udf(F.col("member_text")))
+    rows = summarized.select(
+        "post_id",
+        F.col("country"),
+        F.col("link"),
+        F.col("link").alias("short_link"),
+        F.lit(None).cast("string").alias("link_hash"),
+        "type",
+        F.col("caption").alias("title"),
+        F.col("member_text").alias("text"),
+        F.lit("").alias("excerpt"),
+        "publish_time",
+        F.col("publish_time").alias("modified_time"),
+        "top_image", "images", "videos", "keywords", "tags", "authors",
+        F.lit(None).cast(schemas.PAPER).alias("paper"),
+        F.lit(1).alias("version"),
+        "is_draft", "is_scrap",
+        F.lit(None).cast("string").alias("category"),
+        "caption", "summary",
+        F.array().cast(schemas.POSTS["siblings"].dataType).alias("siblings"),
+        F.array().cast(schemas.POSTS["related"].dataType).alias("related"),
+        F.current_timestamp().alias("created_ts"),
+    ).select([f.name for f in schemas.POSTS.fields])
+    posts_table.merge_upsert(spark, rows, key_cols=["post_id"])
+    return rows.count()
+
+
+def save_day(spark: SparkSession, posts_table: SnapshotTable, day: dt.date,
+             verbs: tuple[str, ...] = ("similarity", "summary", "metapost")
+             ) -> dict[str, int]:
+    """DayNlp.save_day: the three verbs chained (nlp.py:76-100)."""
+    out = {}
+    for verb in verbs:
+        fn = {"similarity": save_similarity, "summary": save_summary,
+              "metapost": save_metapost}[verb]
+        out[verb] = fn(spark, posts_table, day)
+    return out

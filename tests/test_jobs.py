@@ -1,0 +1,102 @@
+"""End-to-end job compositions: the crawl post pipeline (§3.1) and the
+nlp day job (§3.2) against the posts fixture corpus."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark import fixtures, schemas
+from scrapy_newsutils_spark.operators import pipeline
+from scrapy_newsutils_spark.plans import nlp_job, posts_pipeline
+from scrapy_newsutils_spark.sources.snapshot_table import SnapshotTable
+
+DAY0 = dt.date(2024, 3, 1)
+
+
+@pytest.fixture()
+def posts_table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "posts"), schemas.POSTS)
+    t.overwrite(spark.createDataFrame([], schemas.POSTS))
+    return t
+
+
+def test_crawl_batch_pipeline(spark, posts_table):
+    batch = fixtures.posts_batch(spark)
+    dates = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    stats = posts_pipeline.process_crawl_batch(spark, batch, posts_table, dates)
+    assert stats.batch_in == 64
+    assert stats.after_validity == 63          # one null publish_time
+    assert stats.after_date == 62              # one out-of-window
+    assert stats.new == 62 and stats.pristine_dropped == 0
+    assert posts_table.read(spark).count() == 62
+
+    # replay the same batch: everything is pristine now → nothing changes
+    stats2 = posts_pipeline.process_crawl_batch(spark, batch, posts_table, dates)
+    assert stats2.pristine_dropped == 62
+    assert stats2.saved == 0
+    assert posts_table.read(spark).count() == 62
+
+    # edited replay: text change → version 2 row inserted alongside v1
+    edited = batch.withColumn(
+        "text", F.when(F.col("post_id") == 1,
+                       F.concat(F.col("text"), F.lit(" BREAKING")))
+        .otherwise(F.col("text"))
+    ).withColumn(
+        "post_id", F.when(F.col("post_id") == 1, F.lit(5001).cast("long"))
+        .otherwise(F.col("post_id")))
+    stats3 = posts_pipeline.process_crawl_batch(spark, edited, posts_table, dates)
+    assert stats3.new_version == 1
+    p1 = posts_table.read(spark).where(F.col("short_link") == "/post/1")
+    assert sorted(r["version"] for r in p1.collect()) == [1, 2]
+
+
+def test_crawl_batch_image_gate(spark, posts_table, images_df):
+    batch = fixtures.posts_batch(spark).where(F.col("post_id") < 6)
+    # map each post's first image URL onto a real payload row
+    meta = images_df.select(
+        F.concat(F.lit("https://img.example.com/"),
+                 F.regexp_extract("image_id", r"(\d+)", 1).cast("int").cast("string"),
+                 F.lit(".png")).alias("url"),
+        "bytes", "w", "h",
+    )
+    dates = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    posts_pipeline.process_crawl_batch(spark, batch, posts_table, dates,
+                                       image_meta=meta)
+    saved = posts_table.read(spark).collect()
+    assert len(saved) > 0
+    for r in saved:
+        # survivors only: every kept image passed the ≥300x200 + quality gate
+        assert isinstance(r["images"], list)
+        if r["images"]:
+            assert r["top_image"] == r["images"][0]
+
+
+def test_nlp_day_job(spark, posts_table):
+    batch = fixtures.posts_batch(spark)
+    dates = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    posts_pipeline.process_crawl_batch(spark, batch, posts_table, dates)
+
+    out = nlp_job.save_day(spark, posts_table, DAY0)
+    assert out["similarity"] > 0 and out["summary"] > 0
+
+    day_rows = posts_table.read(spark).where(
+        F.to_date("publish_time") == DAY0.isoformat())
+    # summaries written for every non-metapost day row
+    plain = day_rows.where(~F.col("type").startswith("metapost"))
+    assert plain.where(F.col("summary").isNull()).count() == 0
+    assert plain.where(F.col("category").isNull()).count() == 0
+
+    # metapost rows exist iff some post has siblings; version deterministic
+    n_with_sibs = plain.where(F.size("siblings") > 0).count()
+    metas = day_rows.where(F.col("type").startswith("metapost"))
+    assert metas.count() == out["metapost"] == n_with_sibs
+
+    # re-running the whole day job is idempotent on row count
+    out2 = nlp_job.save_day(spark, posts_table, DAY0)
+    assert out2["metapost"] == out["metapost"]
+    day2 = posts_table.read(spark).where(
+        F.to_date("publish_time") == DAY0.isoformat())
+    assert day2.count() == day_rows.count()
