@@ -48,6 +48,20 @@ def remove_diacritics_udf(s: pd.Series) -> pd.Series:  # pragma: no cover
     return s.map(strip)
 
 
+def camel_to_snake(name: str) -> str:
+    """C3 (config-time scalar — reference helpers.py:91-96)."""
+    import re
+
+    s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s).lower()
+
+
+def to_camel(name: str) -> str:
+    """C3 inverse (reference helpers.py:98-101): snake → lowerCamel."""
+    head, *rest = name.split("_")
+    return head + "".join(p.title() for p in rest)
+
+
 # ---------------------------------------------------------------------------
 # tokenization
 

@@ -181,38 +181,63 @@ def build_bloom(seen: DataFrame, key: str = "url_key",
     return bf
 
 
-def split_by_bloom(spark: SparkSession, batch: DataFrame, bloom: PyBloom | None,
-                   key: str = "url_key") -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen). With no filter, everything is maybe.
+def build_cuckoo(seen: DataFrame, key: str = "url_key",
+                 expected: int | None = None) -> PyCuckoo | None:
+    """Driver-side cuckoo build (insertion order matters — kicks — so the
+    OR-reduce trick of Bloom doesn't apply; keys come back via Arrow). At
+    10^10 keys the filter is partitioned by pmod(url_key, P) like the
+    Bloom sidecar, bounding any single table."""
+    if expected is None:
+        expected = seen.count()
+    if expected == 0:
+        return None
+    cf = PyCuckoo(expected)
+    keys = seen.select(key).toPandas()[key].to_numpy(dtype=np.int64)
+    if len(keys):
+        failed = cf.add_many(keys)
+        if failed:
+            cf = PyCuckoo(expected * 2)
+            cf.add_many(keys)
+    return cf
 
-    The probe is an Arrow-batched pandas UDF over a broadcast bitmap —
-    ~3 numpy ops per hash function per batch, no per-row Python.
+
+def split_by_filter(spark: SparkSession, batch: DataFrame, filt,
+                    key: str = "url_key") -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) under any approximate-membership filter
+    exposing ``contains_many`` (PyBloom / PyCuckoo). With no filter,
+    everything is maybe.
+
+    The probe is an Arrow-batched pandas UDF over the broadcast filter —
+    a handful of numpy ops per batch, no per-row Python.
     """
-    if bloom is None:
+    if filt is None:
         return batch.limit(0), batch
-    bc = spark.sparkContext.broadcast((bloom.m, bloom.k, bloom.bits))
+    bc = spark.sparkContext.broadcast(filt)
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(keys: pd.Series) -> pd.Series:  # pragma: no cover
-        m, k, bits = bc.value
-        bf = PyBloom.__new__(PyBloom)
-        bf.m, bf.k, bf.bits = m, k, bits
-        return pd.Series(bf.contains_many(keys.to_numpy(dtype=np.int64)))
+        return pd.Series(
+            bc.value.contains_many(keys.to_numpy(dtype=np.int64)))
 
     tagged = batch.withColumn("_maybe", might_contain(F.col(key)))
     return (tagged.where(~F.col("_maybe")).drop("_maybe"),
             tagged.where(F.col("_maybe")).drop("_maybe"))
 
 
+# back-compat alias
+split_by_bloom = split_by_filter
+
+
 def new_urls_bloom(spark: SparkSession, batch: DataFrame, seen: DataFrame,
                    key: str = "url_key", fpp: float = 0.01,
-                   bloom: PyBloom | None = None) -> DataFrame:
-    """Two-phase membership: Bloom fast path + exact anti-join on maybes.
-    Semantically identical to ``exact_new_urls`` (no false negatives).
-    Pass a prebuilt ``bloom`` to amortize the build across epochs."""
+                   bloom=None) -> DataFrame:
+    """Two-phase membership: approximate fast path (Bloom or cuckoo) +
+    exact anti-join on maybes. Semantically identical to ``exact_new_urls``
+    (neither filter has false negatives). Pass a prebuilt filter to
+    amortize the build across epochs."""
     if bloom is None:
         bloom = build_bloom(seen, key=key, fpp=fpp)
-    definitely_new, maybe = split_by_bloom(spark, batch, bloom, key=key)
+    definitely_new, maybe = split_by_filter(spark, batch, bloom, key=key)
     checked = maybe.join(seen.select(key), key, "left_anti")
     return definitely_new.unionByName(checked)
 

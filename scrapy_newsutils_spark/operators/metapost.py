@@ -49,14 +49,27 @@ def cluster_members(posts: DataFrame) -> DataFrame:
     return edges.join(members, "member_id", "inner")
 
 
+def default_link_factory(baseurl: str):
+    """U6: the default metapost link factory — baseurl + '/' + id
+    (conf/mixins.py:17-37). Pluggable: pass any fn(version_hash_col) ->
+    Column to ``build_metaposts`` (the engine's dotted-path-import analog)."""
+    def factory(version_hash: F.Column) -> F.Column:
+        return F.concat_ws("/", F.lit(baseurl), version_hash)
+
+    return factory
+
+
 def build_metaposts(posts: DataFrame, baseurl: str = "https://meta.example.com",
-                    start_time=None) -> DataFrame:
+                    start_time=None, link_factory=None) -> DataFrame:
     """A2 + A3 over the sibling clusters of ``posts``.
 
     ``start_time``: when given, the version hash only covers members with
     created_ts <= start_time (the reference's lookup_version watermark —
     nlp.py:241-249) so a re-run matches pre-existing metaposts.
+    ``link_factory``: U6 hook, fn(version_hash Column) -> link Column.
     """
+    if link_factory is None:
+        link_factory = default_link_factory(baseurl)
     m = cluster_members(posts)
 
     add_fullstop = F.when(
@@ -110,7 +123,7 @@ def build_metaposts(posts: DataFrame, baseurl: str = "https://meta.example.com",
         F.concat(F.lit("metapost."),
                  F.when(F.col("leader_type") == "featured", F.lit("featured"))
                  .otherwise(F.lit("default"))).alias("type"),
-        F.concat_ws("/", F.lit(baseurl), F.col("version_hash")).alias("link"),
+        link_factory(F.col("version_hash")).alias("link"),
         "country", "paper", "publish_time", "top_image",
         "images", "videos", "keywords", "tags", "authors",
         "is_draft", "is_scrap", "member_text", "version_hash", "n_members",

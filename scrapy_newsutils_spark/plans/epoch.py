@@ -99,6 +99,7 @@ class CrawlEngine:
     epoch_budget_ms: int = politeness.DEFAULT_EPOCH_BUDGET_MS
     salts: int = 16
     use_bloom: bool = True
+    filter_kind: str = "bloom"  # 'bloom' | 'cuckoo' (deletable variant)
     compact_every: int = 16  # frontier delete-deltas before MoR compaction
     # link discovery: >0 → each fetched page emits this many synthetic
     # outlinks (deterministic f(url_key); the sandbox's stand-in for S2
@@ -188,7 +189,10 @@ class CrawlEngine:
             max(n_seen * 2, n_seen + 8 * self.top_k * 210, 1024),
             50_000_000,
         )
-        self._bloom = dedup.build_bloom(seen, expected=capacity)
+        if self.filter_kind == "cuckoo":
+            self._bloom = dedup.build_cuckoo(seen, expected=capacity)
+        else:
+            self._bloom = dedup.build_bloom(seen, expected=capacity)
         self._bloom_capacity = capacity
         self._bloom_inserted = n_seen
         return self._bloom
@@ -197,8 +201,10 @@ class CrawlEngine:
         if self._bloom is not None and len(keys):
             import numpy as np
 
-            self._bloom.add_many(np.asarray(keys, dtype=np.int64))
+            failed = self._bloom.add_many(np.asarray(keys, dtype=np.int64))
             self._bloom_inserted += len(keys)
+            if failed:  # cuckoo table full — force rebuild next epoch
+                self._bloom = None
 
     # -- one epoch -----------------------------------------------------------
     def run_epoch(self) -> EpochResult:

@@ -1,0 +1,73 @@
+"""Cross-cutting invariants: end-to-end pixel PSNR + caption equality on
+fetched rows (the input_hint's per-row gate), cuckoo-filter engine parity,
+C3 scalars, pluggable metapost link factory."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_newsutils_spark import fixtures
+from scrapy_newsutils_spark.functions import images as I
+from scrapy_newsutils_spark.functions import text as TX
+from scrapy_newsutils_spark.plans.epoch import CrawlEngine
+
+
+def test_fetched_rows_decode_to_reference_pixels(spark, tmp_path, frontier_df,
+                                                 images_df, robots_df):
+    """input_hint per-row invariant, end to end: decode every fetched
+    payload and compare against the deterministic pixel oracle — exact for
+    png, PSNR >= 40 dB for the lossy format; captions exactly equal."""
+    eng = CrawlEngine(spark, str(tmp_path / "s"), images=images_df,
+                      robots=robots_df, top_k=3, salts=4)
+    eng.bootstrap(frontier_df)
+    eng.run_epoch()
+    rows = eng.fetched_t.read(spark).where(F.col("status") == "ok") \
+        .limit(40).collect()
+    assert rows
+    for r in rows:
+        i = int(r["image_id"].split("-")[1])
+        w, h, fmt = fixtures.dims_for(i)
+        want_px = fixtures.pixels_for(i, w, h)
+        got_px = I.decode_image(bytes(r["bytes"]))
+        if fmt == "png":
+            assert np.array_equal(got_px, want_px), r["image_id"]
+        else:
+            assert I.psnr(want_px, got_px) >= 40.0, r["image_id"]
+        assert r["caption"] == fixtures.caption_for(i)
+
+
+def test_cuckoo_engine_matches_bloom_engine(spark, tmp_path, frontier_df,
+                                            images_df, robots_df, url_seen_df):
+    def run(kind, name):
+        eng = CrawlEngine(spark, str(tmp_path / name), images=images_df,
+                          robots=robots_df, top_k=4, salts=4,
+                          filter_kind=kind)
+        eng.bootstrap(frontier_df, url_seen_df)
+        eng.run(2)
+        return sorted(r["url_key"] for r in
+                      eng.fetched_t.read(spark).select("url_key").collect())
+
+    assert run("bloom", "b") == run("cuckoo", "c")
+
+
+def test_camel_snake_roundtrip():
+    assert TX.camel_to_snake("postImages") == "post_images"
+    assert TX.camel_to_snake("HTTPResponseCode") == "http_response_code"
+    assert TX.to_camel("post_images") == "postImages"
+
+
+def test_metapost_link_factory_pluggable(spark):
+    from scrapy_newsutils_spark.operators import metapost
+
+    posts = fixtures.posts_batch(spark).where(F.col("post_id").isin(1, 2)) \
+        .withColumn("siblings", F.when(F.col("post_id") == 1, F.array(
+            F.struct(F.lit(2).cast("long").alias("post_id"),
+                     F.lit(0.9).alias("score"))))
+            .otherwise(F.array().cast("array<struct<post_id:long,score:double>>")))
+    row = metapost.build_metaposts(
+        posts,
+        link_factory=lambda vh: F.concat(F.lit("app://meta?v="), vh),
+    ).first()
+    assert row["link"].startswith("app://meta?v=")
