@@ -17,7 +17,7 @@ import datetime as dt
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
@@ -138,10 +138,6 @@ def frontier_table(spark: SparkSession, n: int = 2000, n_images: int = 2000) -> 
         )
         .withColumn("url", F.concat(F.lit("https://"), F.col("host"), F.col("path")))
         .withColumn(
-            "is_seed",
-            F.row_number().over(Window.partitionBy("host").orderBy("id")) == 1,
-        )
-        .withColumn(
             "url_surt",
             F.concat(
                 F.array_join(F.reverse(F.split(F.col("host"), r"\.")), ","),
@@ -150,6 +146,15 @@ def frontier_table(spark: SparkSession, n: int = 2000, n_images: int = 2000) -> 
             ),
         )
         .withColumn("url_key", F.xxhash64("url_surt"))
+    )
+    # seed = the min-id URL of each host. A per-host row_number window would
+    # sort a hot host's entire slice in one partition (40M rows at n=10^8 —
+    # OOMs); a partial-agg min + broadcast join back is O(1) memory.
+    min_ids = df.groupBy("host").agg(F.min("id").alias("_min_id"))
+    df = (
+        df.join(F.broadcast(min_ids), "host")
+        .withColumn("is_seed", F.col("id") == F.col("_min_id"))
+        .drop("_min_id")
         .withColumn(
             "priority",
             F.when(F.col("is_seed"), F.lit(1.0)).otherwise(
