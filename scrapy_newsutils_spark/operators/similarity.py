@@ -96,25 +96,52 @@ def mirror_pairs(half: DataFrame) -> DataFrame:
 def banded_top_n(edges: DataFrame,
                  siblings_threshold: float = SIBLINGS_THRESHOLD,
                  related_threshold: float = RELATED_THRESHOLD,
-                 top_n: int = MAX_DOCS) -> DataFrame:
-    """Assign each directed edge a band and keep top-n per (src, band).
+                 top_n: int = MAX_DOCS,
+                 bands: list[tuple[str, float, int]] | None = None) -> DataFrame:
+    """Assign each directed edge a band and keep the reference's per-band
+    doc sets (J6).
 
-    Bands are disjoint by construction (J6): score ≥ sib_t → 'siblings',
-    sib_t > score ≥ rel_t → 'related' — equivalent to the reference's
-    higher-band-first-then-subtract because the bands partition the score
-    axis (conf/mixins.py:102-104 processes thresholds in desc order).
+    Reference semantics (nlp.py:102-137 ``save_similarity`` + ``dictdiff``,
+    conf/mixins.py:86-104): per band in DESCENDING threshold order, the
+    band's candidate set is the top-n docs among *all* edges with
+    score ≥ that band's threshold — so a high-score doc is a candidate for
+    every band — and the stored set is candidates minus the union of all
+    higher bands' stored sets (``overlap=False``). By induction that union
+    equals the union of higher bands' *candidate* sets, so:
+
+        row ∈ band_i  ⟺  row ∈ candidates_i  ∧  row ∉ candidates_h ∀ h < i
+
+    Single-window plan: because edges with score ≥ t_i form a prefix of the
+    (score DESC, dst ASC) order, a row's rank among the ≥ t_i subset equals
+    its global rank — one row_number() window evaluates every band's
+    candidate test, no per-band shuffles and no array_except join-back.
+
+    The distinguishing case vs naive score-axis banding: scores
+    [.9, .8, .7, .3] with top_n=2 → siblings=[.9, .8], related=[] (the
+    reference subtracts the sibling candidates [.9, .8] from the related
+    candidates [.9, .8]); score-axis banding would wrongly emit
+    related=[.3]. Oracle-verified by the ``similarity_bands`` driver query.
     """
-    banded = edges.withColumn(
-        "band",
-        F.when(F.col("score") >= siblings_threshold, F.lit("siblings"))
-        .when(F.col("score") >= related_threshold, F.lit("related")),
-    ).where(F.col("band").isNotNull())
-    w = Window.partitionBy("src", "band").orderBy(
-        F.col("score").desc(), F.col("dst").asc()
+    if bands is None:
+        bands = [("siblings", siblings_threshold, top_n),
+                 ("related", related_threshold, top_n)]
+    bands = sorted(bands, key=lambda b: -b[1])  # W4: desc threshold order
+    min_t = bands[-1][1]
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(),
+                                          F.col("dst").asc())
+    ranked = (
+        edges.where(F.col("score") >= min_t)
+        .withColumn("rank", F.row_number().over(w))
     )
+    band_col = F.lit(None).cast("string")
+    expr = None
+    for name, t, n in bands:
+        cond = (F.col("score") >= t) & (F.col("rank") <= n)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    band_col = expr.otherwise(F.lit(None))
     return (
-        banded.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
+        ranked.withColumn("band", band_col)
+        .where(F.col("band").isNotNull())
         .drop("rank")
     )
 

@@ -90,16 +90,22 @@ tok AS (
 # crawl-state family (S1/W-rank, J1, T6, J2)
 
 def q_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W-rank frontier pop: top-3 URLs per host by (priority DESC, doc_id).
-    SURVEY §2.5 W1-analog / north-rule priority queue."""
-    fr = _frontier(_docs(spark, sf_dir))
-    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
-                                           F.col("doc_id").asc())
-    return (
-        fr.withColumn("pop_rank", F.row_number().over(w))
-        .where(F.col("pop_rank") <= 3)
-        .select("host", "doc_id", "url", "pop_rank")
+    """W-rank frontier pop through the SHIPPED operator
+    ``frontier.pop_top_k_per_host`` (salted two-phase tree top-k, salts=4,
+    narrow join-back plan) — the oracle certifies the production code path,
+    not an inline analog. Deterministic: constant discovered_ts makes the
+    crawl order (priority DESC, discovered_ts ASC, url_key ASC) collapse to
+    (priority DESC, doc_id ASC). SURVEY §2.5 W1 / north-rule priority queue."""
+    from ..operators import frontier as frontier_ops
+
+    fr = _frontier(_docs(spark, sf_dir)).select(
+        "url", "host", "priority",
+        F.col("doc_id").alias("url_key"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("discovered_ts"),
     )
+    popped = frontier_ops.pop_top_k_per_host(fr, 3, salts=4)
+    return popped.select("host", F.col("url_key").alias("doc_id"), "url",
+                         "pop_rank")
 
 
 SQL_FRONTIER_POP = f"""
@@ -129,9 +135,19 @@ WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.doc_id = f.doc_id)
 
 
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6: per-host token bucket at epoch granularity. Host delay is a pure
-    function of the source number; allowance = floor(budget / delay)."""
+    """T6 through the SHIPPED operator ``politeness.with_politeness``
+    (robots broadcast join + token-bucket allowance + disallow-prefix gate)
+    over a robots table synthesized from the host number: delay cycles
+    {0, 500, 2000, 60000} ms (60000 = the e-zine 1-req/60s extreme), hosts
+    with src%5==0 disallow the '/doc/1' path prefix. The oracle replicates
+    the full decision table, including the concurrency cap
+    least(floor(B/d), conc·B/1000)."""
+    from ..operators import politeness
+
     fr = _frontier(_docs(spark, sf_dir))
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                           F.col("doc_id").asc())
+    popped = fr.withColumn("pop_rank", F.row_number().over(w))
     src_num = F.substring(F.col("host"), 4, 10).cast("int")
     delay = (
         F.when(src_num % 4 == 0, F.lit(0))
@@ -139,16 +155,15 @@ def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(src_num % 4 == 2, F.lit(2000))
         .otherwise(F.lit(60000))
     )
-    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
-                                           F.col("doc_id").asc())
-    ranked = fr.withColumn("pop_rank", F.row_number().over(w)).withColumn("_d", delay)
-    allowance = F.when(F.col("_d") <= 0, F.lit(2_147_483_647)).otherwise(
-        F.floor(F.lit(60000) / F.col("_d")).cast("int"))
-    return ranked.select(
-        "host", "doc_id",
-        F.when(F.col("pop_rank") <= allowance, F.lit("ok"))
-        .otherwise(F.lit("deferred")).alias("status"),
+    robots = fr.select("host").distinct().select(
+        "host",
+        delay.alias("crawl_delay_ms"),
+        F.lit(16).alias("max_concurrency"),
+        F.when(src_num % 5 == 0, F.array(F.lit("/doc/1")))
+        .otherwise(F.array().cast("array<string>")).alias("disallow_prefixes"),
     )
+    out = politeness.with_politeness(popped, robots, epoch_budget_ms=60_000)
+    return out.select("host", "doc_id", F.col("polite_status").alias("status"))
 
 
 SQL_POLITENESS = f"""
@@ -156,14 +171,19 @@ WITH {_FRONTIER_CTE.strip()},
 ranked AS (
   SELECT host, doc_id,
          ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS pop_rank,
+         CAST(substring(host, 4) AS INT) AS src,
          CASE (CAST(substring(host, 4) AS INT) % 4)
            WHEN 0 THEN 0 WHEN 1 THEN 500 WHEN 2 THEN 2000 ELSE 60000 END AS d
   FROM frontier
 )
 SELECT host, doc_id,
-       CASE WHEN pop_rank <= (CASE WHEN d <= 0 THEN 2147483647
-                              ELSE CAST(floor(60000 / d) AS INT) END)
-            THEN 'ok' ELSE 'deferred' END AS status
+       CASE WHEN src % 5 = 0 AND starts_with('/doc/' || doc_id, '/doc/1')
+                 THEN 'robots_denied'
+            WHEN pop_rank <= least(CASE WHEN d <= 0 THEN 2147483647
+                                        ELSE CAST(floor(60000 / d) AS INT) END,
+                                   16 * 60)
+                 THEN 'ok'
+            ELSE 'deferred' END AS status
 FROM ranked
 """
 
@@ -493,6 +513,68 @@ SELECT a, b, score4 FROM (
 """
 
 
+def q_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 through the SHIPPED ``similarity.banded_top_n``: reference
+    subtract-after-top-n band semantics (nlp.py:102-137 + conf/mixins.py:
+    86-104). Edges synthesized with pseudo-random scores so many sources
+    have >top_n docs above the sibling threshold — the distinguishing case
+    where naive score-axis banding diverges. The oracle implements the
+    reference literally: siblings = top-2 ≥ .4; related = (top-2 ≥ .2)
+    EXCEPT siblings."""
+    from ..operators import similarity
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+    ).select(
+        "src",
+        (F.col("src") * 100 + F.col("j")).alias("dst"),
+    ).select(
+        "src", "dst",
+        # per-src scale factor (src%3+1)/3 varies the high-edge count so the
+        # output exercises BOTH branches: srcs whose top-2 ≥ .2 are all
+        # siblings (related = [] — the distinguishing case) and srcs with
+        # genuinely related docs.
+        (F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(100))
+         / F.lit(100.0)
+         * ((F.col("src") % 3 + 1) / F.lit(3.0))).alias("score"),
+    )
+    out = similarity.banded_top_n(edges, siblings_threshold=0.4,
+                                  related_threshold=0.2, top_n=2)
+    return out.select("src", "dst", "band", F.round("score", 2).alias("score"))
+
+
+SQL_SIMILARITY_BANDS = """
+WITH e AS (
+  SELECT d.doc_id AS src, d.doc_id * 100 + j.j AS dst,
+         ((d.doc_id * 7 + (d.doc_id * 100 + j.j) * 13) % 100) / 100.0
+           * ((d.doc_id % 3 + 1) / 3.0) AS score
+  FROM documents d, generate_series(1, 8) AS j(j)
+  WHERE d.doc_id < 40
+),
+sib AS (
+  SELECT src, dst, score FROM (
+    SELECT src, dst, score,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rk
+    FROM e WHERE score >= 0.4
+  ) WHERE rk <= 2
+),
+rel_cand AS (
+  SELECT src, dst, score FROM (
+    SELECT src, dst, score,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rk
+    FROM e WHERE score >= 0.2
+  ) WHERE rk <= 2
+)
+SELECT src, dst, 'siblings' AS band, round(score, 2) AS score FROM sib
+UNION ALL
+SELECT r.src, r.dst, 'related' AS band, round(r.score, 2) AS score
+FROM rel_cand r LEFT JOIN sib s ON s.src = r.src AND s.dst = r.dst
+WHERE s.src IS NULL
+"""
+
+
 def q_metapost_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: sibling-cluster aggregation shape — bool-AND over members,
     deterministic md5 version hash of sorted member ids, argmax member —
@@ -721,6 +803,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     # NLP layer
     "similarity_pairs": (q_similarity_pairs, SQL_SIMILARITY_PAIRS),
+    "similarity_bands": (q_similarity_bands, SQL_SIMILARITY_BANDS),
     "metapost_agg": (q_metapost_agg, SQL_METAPOST_AGG),
     # text analysis
     "lang_id": (q_lang_id, SQL_LANG_ID),

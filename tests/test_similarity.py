@@ -85,6 +85,33 @@ def test_banding_disjoint_and_topn(spark, corpus):
     assert (1, 2) in sib and (2, 1) in sib
 
 
+def test_banding_subtract_after_topn(spark):
+    """J6 distinguishing case (reference nlp.py:102-137 save_similarity +
+    dictdiff): scores [.9,.8,.7,.3], top_n=2 → related candidates are the
+    top-2 docs ≥ 0.2 — both already siblings — so related = [] after the
+    subtract. Naive score-axis banding would wrongly emit related=[.3]."""
+    edges = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.3)],
+        "src long, dst long, score double")
+    rows = similarity.banded_top_n(edges, 0.4, 0.2, 2).collect()
+    bands = {r["dst"]: r["band"] for r in rows}
+    assert bands == {10: "siblings", 11: "siblings"}
+
+
+def test_banding_non_uniform_topn(spark):
+    """Per-band top_n: a doc outside the sibling top-n but inside the wider
+    related top-n lands in related (candidates_rel − candidates_sib)."""
+    edges = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.3)],
+        "src long, dst long, score double")
+    rows = similarity.banded_top_n(
+        edges, bands=[("siblings", 0.4, 2), ("related", 0.2, 4)]).collect()
+    bands = {r["dst"]: r["band"] for r in rows}
+    # 12 (score .7 ≥ .4) missed the sibling top-2 but is a related candidate
+    assert bands == {10: "siblings", 11: "siblings",
+                     12: "related", 13: "related"}
+
+
 def test_similarity_lists_shape(spark, corpus):
     vec = similarity.tfidf_vectors(corpus, "post_id", similarity.get_post_text())
     edges = similarity.mirror_pairs(similarity.cosine_pairs(vec))
