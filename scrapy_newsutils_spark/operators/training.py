@@ -119,15 +119,23 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 7,
-                      n_blocks: int = 8) -> DataFrame:
+                      n_blocks: int = 8,
+                      hash_family: str = "xx") -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, Manku-style multi-block
     blocking — split the signature into ``n_blocks`` bit-blocks; two sigs
     within hamming < n_blocks share at least one identical block
     (pigeonhole), so same-block bucketing is EXACT for hamming ≤ n_blocks−1.
     Candidates verify with bit_count. Shuffles only on (block_idx, block
-    value) bucket keys — never all-pairs."""
+    value) bucket keys — never all-pairs.
+
+    ``hash_family``: 'xx' = xxhash64 token hashes (fast path); 'md5' =
+    md5-hex token hashes, bit-replicable in DuckDB so the driver oracle
+    checks rows + schema + values (the blocking/verify plan is shared —
+    the family only swaps the token-hash expression)."""
     bits = 64 // n_blocks
-    sig = H.simhash_signatures(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
+    sig_fn = (H.simhash_signatures_md5 if hash_family == "md5"
+              else H.simhash_signatures)
+    sig = sig_fn(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
     blocked = sig.select(
         "doc", "sig",
         F.explode(F.array(*[
@@ -146,7 +154,8 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     return (
         a.join(b, ["block_idx", "block_val"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", H.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .select("a", "b",
+                H.hamming64(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -154,14 +163,58 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        jaccard_min: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard via shingle inverted index (no LSH): explode
-    shingles → pairs sharing a shingle → |∩| = count, |∪| = |A|+|B|−|∩|.
-    One shuffle on shingle, one on pair — exact, and still never all-pairs."""
+                        jaccard_min: float = 0.5,
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold, never all-pairs.
+
+    ``prefix_filter=True`` (default, the scale path): AllPairs/PPJoin prefix
+    filtering — shingles get a global total order (df ASC, shingle ASC); each
+    doc indexes only its first ``⌊(1−t)·n⌋ + 1`` shingles under that order.
+    Any pair with Jaccard ≥ t provably shares a prefix shingle (Bayardo et
+    al., WWW'07), so candidate generation is EXACT, and a stopword-grade hot
+    shingle (df ≈ N) sorts last in every doc's order — it enters a prefix
+    only for docs small enough that the prefix covers everything, which
+    bounds the per-shingle join fan-out that made the unfiltered inverted
+    index quadratic on hot keys. Candidates then verify with full-array
+    Jaccard (arrays are distinct by construction in ``H.shingles``).
+
+    ``prefix_filter=False``: the plain inverted index — every shingle
+    indexed, |∩| counted from the index itself (no array join). Same output;
+    hot-shingle skew unbounded. Kept for the oracle cross-check.
+    """
     sh = docs.select(F.col(id_col).alias("doc"),
                      H.shingles(F.col(text_col), k=k).alias("sh"))
     sizes = sh.select("doc", F.size("sh").alias("n"))
     inv = sh.select("doc", F.explode("sh").alias("shingle"))
+    if prefix_filter:
+        df_counts = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy("doc").orderBy(F.col("_df").asc(),
+                                              F.col("shingle").asc())
+        prefix_len = (F.floor(F.lit(1.0 - jaccard_min) * F.col("n")) + 1).cast("int")
+        pref = (
+            inv.join(df_counts, "shingle")
+            .join(sizes, "doc")
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= prefix_len)
+            .select("doc", "shingle")
+        )
+        cands = (
+            pref.select(F.col("doc").alias("a"), "shingle")
+            .join(pref.select(F.col("doc").alias("b"), "shingle"), "shingle")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        joined = (
+            cands.join(sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a")), "a")
+            .join(sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b")), "b")
+        )
+        return (
+            joined.withColumn(
+                "jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+            .where(F.col("jaccard") >= jaccard_min)
+            .select("a", "b", "jaccard")
+        )
     a = inv.select(F.col("doc").alias("a"), "shingle")
     b = inv.select(F.col("doc").alias("b"), "shingle")
     inter = (

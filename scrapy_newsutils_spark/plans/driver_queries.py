@@ -300,10 +300,49 @@ WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.9
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (Manku multi-block). xxhash64-based — DuckDB cannot
-    replicate Spark's xxhash64, so this ships without an oracle (rows-only)."""
+    """SimHash near-dups (Manku multi-block blocking, exact for hamming ≤
+    n_blocks−1 = 7 by pigeonhole). md5 hash family: token hash = first 16
+    md5 hex chars, so DuckDB replicates the signatures bit-for-bit and the
+    oracle brute-forces all pairs — equal output because the blocking is
+    exact at this radius. The engine's xxhash64 fast path shares the entire
+    blocking/verify plan (only the token-hash expression differs; both are
+    pytest-covered in test_training_ops)."""
     corpus = _dup_corpus(_docs(spark, sf_dir))
-    return training.simhash_near_dups(corpus, max_hamming=7)
+    return training.simhash_near_dups(corpus, max_hamming=7, hash_family="md5")
+
+
+SQL_SIMHASH = f"""
+WITH {_DUP_CORPUS_CTE.strip()},
+{_TOK_CTE.strip()},
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN b.b < 32 THEN (lo >> b.b) & 1
+                  ELSE (hi >> (b.b - 32)) & 1 END) AS cnt,
+         COUNT(*) AS n
+  FROM h, generate_series(0, 63) AS b(b)
+  GROUP BY doc_id, b.b
+),
+bits AS (
+  SELECT doc_id, b, CASE WHEN cnt * 2 > n THEN 1 ELSE 0 END AS s FROM votes
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b < 32 THEN CAST(s AS BIGINT) << b ELSE 0 END) AS lo,
+         SUM(CASE WHEN b >= 32 THEN CAST(s AS BIGINT) << (b - 32) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+) WHERE hamming <= 7
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -797,7 +836,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH),
     "token_jaccard_pairs": (q_token_jaccard, SQL_TOKEN_JACCARD),
-    "simhash_near_dups": (q_simhash_pairs, None),  # xxhash64: no SQL twin
+    "simhash_near_dups": (q_simhash_pairs, SQL_SIMHASH),
     # embedding similarity
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

@@ -75,6 +75,59 @@ def test_ngram_jaccard_pairs(dup_docs):
         assert (d, d + 200000) in got
 
 
+def test_ngram_prefix_filter_matches_unfiltered(dup_docs):
+    """PPJoin prefix filtering is exact: identical output with and without,
+    including the md5-family simhash cross-check corpus."""
+    for t in (0.4, 0.8):
+        with_pf = {(r["a"], r["b"], r["jaccard"]) for r in
+                   training.ngram_jaccard_pairs(dup_docs, jaccard_min=t).collect()}
+        without = {(r["a"], r["b"], r["jaccard"]) for r in
+                   training.ngram_jaccard_pairs(
+                       dup_docs, jaccard_min=t, prefix_filter=False).collect()}
+        assert with_pf == without
+
+
+def test_ngram_prefix_filter_bounds_hot_shingle_fanout(spark):
+    """A stopword-grade shingle shared by every doc must not produce a
+    quadratic candidate set: with unigram shingles and a hot token in all
+    N docs, the unfiltered index pairs all N choose 2; the prefix index
+    keeps the hot shingle out of large docs' prefixes."""
+    n = 60
+    rows = [(i, "hotword " + " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # internal candidate count: rebuild the prefix index the operator uses
+    from scrapy_newsutils_spark.functions import hashing as H
+    from pyspark.sql import Window
+    sh = docs.select(F.col("doc_id").alias("doc"), H.shingles(F.col("text"), k=1).alias("sh"))
+    inv = sh.select("doc", F.explode("sh").alias("shingle"))
+    dfc = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sizes = sh.select("doc", F.size("sh").alias("n"))
+    w = Window.partitionBy("doc").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    pref = (inv.join(dfc, "shingle").join(sizes, "doc")
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= (F.floor(F.lit(0.5) * F.col("n")) + 1).cast("int"))
+            .select("doc", "shingle"))
+    cands = (pref.select(F.col("doc").alias("a"), "shingle")
+             .join(pref.select(F.col("doc").alias("b"), "shingle"), "shingle")
+             .where(F.col("a") < F.col("b")).select("a", "b").distinct())
+    assert cands.count() == 0  # no pair shares a rare-prefix shingle
+    # and the operator output is still exact (no qualifying pairs exist)
+    assert training.ngram_jaccard_pairs(docs, k=1, jaccard_min=0.5).count() == 0
+
+
+def test_simhash_md5_family_matches_blocking(dup_docs):
+    """The md5 portable family runs the same blocking plan; exact dups are
+    found at hamming 0 and injected near-dups mostly recovered."""
+    got = training.simhash_near_dups(dup_docs, max_hamming=10, hash_family="md5")
+    rows = got.collect()
+    exact_pairs = [r for r in rows if r["b"] - r["a"] == 100000 and r["hamming"] == 0]
+    assert len(exact_pairs) >= 4
+    pairs = {(r["a"], r["b"]) for r in rows}
+    hits = sum((d, d + 200000) in pairs for d in range(5))
+    assert hits >= 3
+
+
 def test_embedding_near_dups(spark, embeddings_df):
     emb = embeddings_df.limit(40)
     clones = emb.limit(5).select(
