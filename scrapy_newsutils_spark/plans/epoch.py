@@ -100,6 +100,9 @@ class CrawlEngine:
     salts: int = 16
     use_bloom: bool = True
     filter_kind: str = "bloom"  # 'bloom' | 'cuckoo' (deletable variant)
+    # per-bucket key capacity of the partitioned URL-seen filter (~32 MB
+    # bitmap at 10 bits/key); bucket count scales with the seen set
+    filter_cap_per_bucket: int = 25_000_000
     compact_every: int = 16  # frontier delete-deltas before MoR compaction
     # link discovery: >0 → each fetched page emits this many synthetic
     # outlinks (deterministic f(url_key); the sandbox's stand-in for S2
@@ -114,12 +117,12 @@ class CrawlEngine:
         self.fetched_t = SnapshotTable(os.path.join(self.root, "fetched"), schemas.FETCHED)
         self.metrics_t = SnapshotTable(os.path.join(self.root, "metrics"), schemas.METRICS)
         self.cash_t = SnapshotTable(os.path.join(self.root, "opic_cash"), schemas.OPIC_CASH)
-        # Bloom sidecar state: built lazily from url_seen, extended
-        # incrementally per epoch (driver holds the bitmap; a fresh engine —
-        # i.e. a resumed job — rebuilds it from the table).
-        self._bloom: dedup.PyBloom | None = None
-        self._bloom_capacity = 0
-        self._bloom_inserted = 0
+        # URL-seen filter sidecar: a PartitionedFilter built lazily from
+        # url_seen (executor-side per-bucket builds), extended incrementally
+        # per epoch. A fresh engine — i.e. a resumed job — rebuilds it from
+        # the table; an overfilled or insert-failed filter is discarded and
+        # rebuilt with more buckets (never silently degraded).
+        self._filter: dedup.PartitionedFilter | None = None
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, frontier_df: DataFrame, url_seen_df: DataFrame | None = None) -> None:
@@ -172,39 +175,32 @@ class CrawlEngine:
                 meta={"epoch": epoch - 1, "recovered": True},
             )
 
-    # -- bloom sidecar ---------------------------------------------------------
-    def _get_bloom(self, seen: DataFrame) -> dedup.PyBloom | None:
-        """Build once from url_seen, then extend incrementally per epoch.
-        Rebuilt when inserts outgrow capacity (fpp would degrade)."""
-        if self._bloom is not None and self._bloom_inserted <= self._bloom_capacity:
-            return self._bloom
+    # -- URL-seen filter sidecar ----------------------------------------------
+    def _get_bloom(self, seen: DataFrame) -> dedup.PartitionedFilter | None:
+        """Build once from url_seen (distributed per-bucket builds: the
+        driver never collects a key), then extend incrementally per epoch.
+        Rebuilt — with a bucket count scaled to the current seen size — when
+        any bucket outgrows its design capacity: capacity grows by adding
+        buckets, never by letting fpp degrade (the round-1 50M hard cap and
+        its silent degradation are gone)."""
+        if self._filter is not None and not self._filter.overfilled():
+            return self._filter
         n_seen = seen.count()
-        # headroom for ~8 epochs of inserts without a rebuild, but hard-cap
-        # the bitmap at ~50M keys (~64 MB): it is broadcast to every python
-        # worker per epoch, and an oversized bitmap costs more in broadcast
-        # than the rebuilds it saves. (At 10^10 keys the filter is
-        # partitioned by pmod(url_key, P) — module docstring in dedup.py —
-        # so no single bitmap ever exceeds this cap.)
-        capacity = min(
-            max(n_seen * 2, n_seen + 8 * self.top_k * 210, 1024),
-            50_000_000,
+        # headroom for ~8 epochs of inserts without a rebuild
+        expected = max(n_seen * 2, n_seen + 8 * self.top_k * 210, 1024)
+        self._filter = dedup.build_partitioned(
+            seen, kind=self.filter_kind, expected=expected,
+            cap_per_bucket=self.filter_cap_per_bucket,
         )
-        if self.filter_kind == "cuckoo":
-            self._bloom = dedup.build_cuckoo(seen, expected=capacity)
-        else:
-            self._bloom = dedup.build_bloom(seen, expected=capacity)
-        self._bloom_capacity = capacity
-        self._bloom_inserted = n_seen
-        return self._bloom
+        return self._filter
 
     def _bloom_add(self, keys) -> None:
-        if self._bloom is not None and len(keys):
+        if self._filter is not None and len(keys):
             import numpy as np
 
-            failed = self._bloom.add_many(np.asarray(keys, dtype=np.int64))
-            self._bloom_inserted += len(keys)
-            if failed:  # cuckoo table full — force rebuild next epoch
-                self._bloom = None
+            failed = self._filter.add_many(np.asarray(keys, dtype=np.int64))
+            if failed:  # cuckoo bucket full — rebuild before the next probe
+                self._filter = None
 
     # -- one epoch -----------------------------------------------------------
     def run_epoch(self) -> EpochResult:

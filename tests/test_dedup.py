@@ -58,3 +58,83 @@ def test_seen_updates_bucketing(spark, frontier_df):
     # bucket must be pmod(url_key, 64)
     bad = upd.where(F.col("bucket") != F.pmod(F.col("url_key"), F.lit(64)).cast("int")).count()
     assert bad == 0
+
+
+# -- partitioned (bucketed) URL-seen filters — the 10^10-key scale path --------
+
+def test_partitioned_filter_no_false_negatives_and_routing():
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-(2**62), 2**62, size=30_000, dtype=np.int64)
+    for kind in ("bloom", "cuckoo"):
+        pf = dedup.PartitionedFilter(buckets=7, kind=kind, new_bucket_items=16_384)
+        assert pf.add_many(keys) == 0
+        assert bool(pf.contains_many(keys).all()), kind
+        # disjoint probes mostly rejected (fast path does real work)
+        probe = rng.integers(0, 2**62, size=30_000, dtype=np.int64)
+        fresh = ~np.isin(probe, keys)
+        fpr = pf.contains_many(probe[fresh]).mean()
+        assert fpr < 0.05, (kind, fpr)
+
+
+def test_build_partitioned_matches_exact(spark, frontier_df, url_seen_df):
+    """Distributed per-bucket build + two-phase membership == plain anti-join,
+    for both filter kinds, with a multi-bucket layout (cap forces >1 bucket)."""
+    exact = {r["url_key"] for r in
+             dedup.exact_new_urls(frontier_df, url_seen_df).select("url_key").collect()}
+    n_seen = url_seen_df.count()
+    for kind in ("bloom", "cuckoo"):
+        pf = dedup.build_partitioned(url_seen_df, kind=kind,
+                                     cap_per_bucket=max(n_seen // 3, 8))
+        assert pf is not None and pf.buckets > 1  # the cap forced bucketing
+        got = {r["url_key"] for r in
+               dedup.new_urls_bloom(spark, frontier_df, url_seen_df,
+                                    bloom=pf).select("url_key").collect()}
+        assert got == exact, kind
+
+
+def test_partitioned_filter_overfill_detected():
+    pf = dedup.PartitionedFilter(buckets=2, kind="bloom", new_bucket_items=64)
+    rng = np.random.default_rng(3)
+    pf.add_many(rng.integers(0, 2**62, size=50, dtype=np.int64))
+    assert not pf.overfilled()
+    pf.add_many(rng.integers(0, 2**62, size=200, dtype=np.int64))
+    assert pf.overfilled()  # degradation is SIGNALLED, never silent
+
+
+def test_filter_store_probe_equals_broadcast(spark, tmp_path, frontier_df, url_seen_df):
+    """split_by_filter_store (per-bucket lazy file loads, no broadcast) must
+    partition the batch identically to the in-memory broadcast probe."""
+    pf = dedup.build_partitioned(url_seen_df, kind="bloom",
+                                 cap_per_bucket=max(url_seen_df.count() // 3, 8))
+    store = dedup.FilterStore(str(tmp_path / "filters"))
+    store.save(pf)
+    new_b, maybe_b = dedup.split_by_filter(spark, frontier_df, pf)
+    new_s, maybe_s = dedup.split_by_filter_store(spark, frontier_df,
+                                                 str(tmp_path / "filters"))
+    k = lambda df: {r["url_key"] for r in df.select("url_key").collect()}
+    assert k(new_b) == k(new_s)
+    assert k(maybe_b) == k(maybe_s)
+    # round-trip load preserves membership
+    assert bool(store.load().contains_many(
+        np.array([r["url_key"] for r in url_seen_df.select("url_key").collect()],
+                 dtype=np.int64)).all())
+
+
+def test_cuckoo_bulk_insert_matches_membership():
+    """Vectorized add_many fast path: every successfully-inserted key is
+    found; zero failures at sane load; duplicates allowed."""
+    rng = np.random.default_rng(5)
+    keys = rng.integers(-(2**62), 2**62, size=40_000, dtype=np.int64)
+    cf = dedup.PyCuckoo(len(keys))
+    assert cf.add_many(keys) == 0
+    assert bool(cf.contains_many(keys).all())
+    # deletions still work after the bulk path
+    assert cf.delete_many(keys[:100]) == 100
+
+
+def test_cuckoo_from_keys_doubles_until_fit():
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**62, size=5_000, dtype=np.int64)
+    # deliberately undersized expectation: builder must double, not drop
+    cf = dedup._cuckoo_from_keys(keys, expected=64)
+    assert bool(cf.contains_many(keys).all())
