@@ -38,43 +38,66 @@ def read_url_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
+def process_fetch_batch(batch: DataFrame, batch_id: int,
+                        url_seen_t: SnapshotTable, fetched_t: SnapshotTable,
+                        images: DataFrame, robots: DataFrame) -> None:
+    """One micro-batch of the crawl stream: dedup vs the url_seen state
+    table → politeness → fetch join → commit fetched + url_seen.
+
+    Replay safety (T5): batch ids are monotonic and the batch computation
+    is deterministic, so EACH table's append is guarded on that table's OWN
+    ``last_batch`` watermark. A crash between the two appends (fetched
+    committed, url_seen not) replays the batch on restart: the fetched
+    append is skipped (already at batch_id) while the url_seen append still
+    runs — no lost url_seen keys, no duplicate fetched rows. A single
+    whole-batch guard on the first-committed table would skip the replay
+    entirely and permanently drop the second table's rows."""
+    fetched_done = int(fetched_t.manifest()["meta"].get("last_batch", -1)) >= batch_id
+    seen_done = int(url_seen_t.manifest()["meta"].get("last_batch", -1)) >= batch_id
+    if fetched_done and seen_done:
+        return  # fully committed — idempotent skip
+    seen = url_seen_t.read(batch.sparkSession)
+    from pyspark.sql import Window
+
+    from ..operators import frontier as fr_ops
+
+    # NB: commit ORDER is load-bearing even with per-table guards: fetched
+    # must commit before url_seen. If url_seen committed first and the job
+    # died before the fetched append, the replay would read its own batch's
+    # keys as already-seen and compute fresh = ∅, losing the fetched rows.
+    fresh = dedup.exact_new_urls(batch, seen).withColumn(
+        "pop_rank",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(*fr_ops.pop_order())
+        ),
+    )
+    polite = politeness.with_politeness(fresh, robots)
+    if not fetched_done:
+        fetched = fetch_ops.execute_fetches(polite, images, epoch=batch_id) \
+            .unionByName(fetch_ops.denied_rows(polite, epoch=batch_id))
+        fetched_t.append(fetched, meta={"last_batch": batch_id})
+    if not seen_done:
+        url_seen_t.append(
+            dedup.seen_updates(
+                polite.where(F.col("polite_status") != "deferred"), batch_id),
+            meta={"last_batch": batch_id},
+        )
+
+
 def run_fetch_stream(spark: SparkSession, drop_dir: str, state_root: str,
                      images: DataFrame, robots: DataFrame,
                      checkpoint: str, available_now: bool = True):
-    """The crawl pipeline as a stream: each micro-batch = dedup vs the
-    url_seen state table → politeness → fetch join → commit fetched +
-    url_seen. Returns the started StreamingQuery.
-
-    Batch ids are monotonic and replay-stable, so commits keyed on them are
-    idempotent across restarts (foreachBatch may re-deliver a batch)."""
+    """The crawl pipeline as a stream (see ``process_fetch_batch`` for the
+    per-batch semantics and replay guarantees). Returns the started
+    StreamingQuery."""
     import os
 
     url_seen_t = SnapshotTable(os.path.join(state_root, "url_seen"), schemas.URL_SEEN)
     fetched_t = SnapshotTable(os.path.join(state_root, "fetched"), schemas.FETCHED)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if int(fetched_t.manifest()["meta"].get("last_batch", -1)) >= batch_id:
-            return  # replayed batch already committed — idempotent skip
-        seen = url_seen_t.read(batch.sparkSession)
-        from pyspark.sql import Window
-
-        from ..operators import frontier as fr_ops
-
-        fresh = dedup.exact_new_urls(batch, seen).withColumn(
-            "pop_rank",
-            F.row_number().over(
-                Window.partitionBy("host").orderBy(*fr_ops.pop_order())
-            ),
-        )
-        polite = politeness.with_politeness(fresh, robots)
-        fetched = fetch_ops.execute_fetches(polite, images, epoch=batch_id) \
-            .unionByName(fetch_ops.denied_rows(polite, epoch=batch_id))
-        fetched_t.append(fetched, meta={"last_batch": batch_id})
-        url_seen_t.append(
-            dedup.seen_updates(
-                polite.where(F.col("polite_status") != "deferred"), batch_id),
-            meta={"last_batch": batch_id},
-        )
+        process_fetch_batch(batch, batch_id, url_seen_t, fetched_t,
+                            images, robots)
 
     writer = (
         read_url_stream(spark, drop_dir)
