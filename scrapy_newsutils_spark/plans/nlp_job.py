@@ -22,6 +22,16 @@ from ..operators import metapost, pipeline, similarity, summarize
 from ..sources.snapshot_table import SnapshotTable
 
 
+def _merge_day(spark: SparkSession, posts_table: SnapshotTable,
+               rows: DataFrame) -> None:
+    """K1 at scale: partition-scoped MERGE on days(publish_time) — a day
+    job rewrites only its own day's data dirs, never the whole posts table
+    (round-1 VERDICT: save_day was 3 full-table CoW rewrites per day)."""
+    posts_table.merge_upsert_partitioned(
+        spark, rows, key_cols=["post_id"],
+        part_expr=F.to_date("publish_time"))
+
+
 def day_posts(spark: SparkSession, posts_table: SnapshotTable,
               day: dt.date) -> DataFrame:
     """S8: partition-pruned day scan, metaposts excluded from NLP input
@@ -53,10 +63,11 @@ def save_similarity(spark: SparkSession, posts_table: SnapshotTable,
         .withColumn("related", F.coalesce(
             "related", F.array().cast(schemas.POSTS["related"].dataType)))
         .select([f.name for f in schemas.POSTS.fields])
-    )
-    posts_table.merge_upsert(spark, updated, key_cols=["post_id"])
-    posts.unpersist()
-    return updated.count()
+    ).cache()
+    n = updated.count()
+    _merge_day(spark, posts_table, updated)
+    posts.unpersist(); updated.unpersist()
+    return n
 
 
 def save_summary(spark: SparkSession, posts_table: SnapshotTable,
@@ -65,9 +76,11 @@ def save_summary(spark: SparkSession, posts_table: SnapshotTable,
     posts = day_posts(spark, posts_table, day)
     updated = summarize.save_summary(
         posts, text_expr=similarity.get_post_text()
-    ).select([f.name for f in schemas.POSTS.fields])
-    posts_table.merge_upsert(spark, updated, key_cols=["post_id"])
-    return updated.count()
+    ).select([f.name for f in schemas.POSTS.fields]).cache()
+    n = updated.count()
+    _merge_day(spark, posts_table, updated)
+    updated.unpersist()
+    return n
 
 
 def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
@@ -106,9 +119,11 @@ def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
         F.array().cast(schemas.POSTS["siblings"].dataType).alias("siblings"),
         F.array().cast(schemas.POSTS["related"].dataType).alias("related"),
         F.current_timestamp().alias("created_ts"),
-    ).select([f.name for f in schemas.POSTS.fields])
-    posts_table.merge_upsert(spark, rows, key_cols=["post_id"])
-    return rows.count()
+    ).select([f.name for f in schemas.POSTS.fields]).cache()
+    n = rows.count()
+    _merge_day(spark, posts_table, rows)
+    rows.unpersist()
+    return n
 
 
 def save_day(spark: SparkSession, posts_table: SnapshotTable, day: dt.date,

@@ -84,11 +84,17 @@ def process_crawl_batch(
     if image_meta is not None:
         routed = gate_post_images(routed, image_meta)
 
-    to_save = routed.select([f.name for f in schemas.POSTS.fields])
-    posts_table.merge_upsert(spark, to_save, key_cols=["post_id"])
+    # cache: the frame feeds the count AND the merge — recomputing it would
+    # re-run the image-gate pandas UDF twice (round-1 VERDICT minor #6)
+    to_save = routed.select([f.name for f in schemas.POSTS.fields]).cache()
     n_saved = to_save.count()
+    # partition-scoped MERGE: only the days present in the batch are
+    # rewritten; other days' data dirs stay byte-identical (K1 at scale)
+    posts_table.merge_upsert_partitioned(
+        spark, to_save, key_cols=["post_id"],
+        part_expr=F.to_date("publish_time"))
 
-    dated.unpersist(); classified.unpersist()
+    dated.unpersist(); classified.unpersist(); to_save.unpersist()
     return BatchStats(
         batch_in=n_in, after_validity=n_valid, after_date=n_dated,
         pristine_dropped=by_status.get("pristine", 0),

@@ -64,7 +64,8 @@ class SnapshotTable:
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v == 0:
-            return {"version": 0, "dirs": [], "meta": {}, "deletes": []}
+            return {"version": 0, "dirs": [], "meta": {}, "deletes": [],
+                    "part_dirs": {}}
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
@@ -74,10 +75,12 @@ class SnapshotTable:
         (merge-on-read: equality deletes applied as one anti-join at read
         time — Iceberg MoR semantics; see ``delete_by_keys``)."""
         m = self.manifest(version)
-        if not m["dirs"]:
+        dirs = list(m["dirs"]) + [d for pd in m.get("part_dirs", {}).values()
+                                  for d in pd]
+        if not dirs:
             return spark.createDataFrame([], self.schema)
         df = spark.read.schema(self.schema).parquet(
-            *[os.path.join(self.path, d) for d in m["dirs"]]
+            *[os.path.join(self.path, d) for d in dirs]
         )
         deletes = m.get("deletes", [])
         if deletes:
@@ -96,7 +99,8 @@ class SnapshotTable:
 
     def _commit_manifest(self, dirs: list[str], meta: dict,
                          expected_version: int | None,
-                         deletes: list[dict] | None = None) -> int:
+                         deletes: list[dict] | None = None,
+                         part_dirs: dict[str, list[str]] | None = None) -> int:
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
             raise CommitConflict(
@@ -109,6 +113,7 @@ class SnapshotTable:
             "dirs": dirs,
             "meta": meta,
             "deletes": deletes or [],
+            "part_dirs": part_dirs or {},
             "committed_at": time.time(),
         }
         mpath = self._manifest_path(new_v)
@@ -137,7 +142,8 @@ class SnapshotTable:
         d = self._write_data(df)
         m = self.manifest()
         return self._commit_manifest(m["dirs"] + [d], meta or {},
-                                     expected_version, m.get("deletes", []))
+                                     expected_version, m.get("deletes", []),
+                                     m.get("part_dirs", {}))
 
     def delete_by_keys(self, keys: DataFrame, key_cols: list[str],
                        meta: dict | None = None,
@@ -157,7 +163,8 @@ class SnapshotTable:
         dels = m.get("deletes", []) + [{"dir": d, "keys": key_cols}]
         if any(e["keys"] != key_cols for e in dels):
             raise ValueError("all delete deltas of a table must share key_cols")
-        return self._commit_manifest(m["dirs"], meta or {}, expected_version, dels)
+        return self._commit_manifest(m["dirs"], meta or {}, expected_version,
+                                     dels, m.get("part_dirs", {}))
 
     def compact(self, spark: SparkSession, meta: dict | None = None,
                 expected_version: int | None = None) -> int:
@@ -191,6 +198,70 @@ class SnapshotTable:
         merged = keep.unionByName(batch.dropDuplicates(key_cols))
         return self.overwrite(merged, meta, expected_version)
 
+    def merge_upsert_partitioned(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        key_cols: list[str],
+        part_expr,
+        meta: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Partition-scoped MERGE: rewrite ONLY the partitions the batch
+        touches — Iceberg CoW MERGE with partition pruning, the fix for the
+        round-1 full-table rewrite (O(table) per merge at 100 TB; a crawl
+        batch touches a handful of days of a day-partitioned posts table).
+
+        ``part_expr``: Column (or name) whose value partitions the table —
+        e.g. ``F.to_date("publish_time")``. The manifest maps each partition
+        value to its data dirs; a merge reads + rewrites only the dirs of
+        the batch's distinct values, every other partition's files are
+        byte-identical untouched (asserted in tests). The table must be
+        written exclusively through this method (plus append/delete, which
+        preserve partition dirs); mixing with ``overwrite``/``merge_upsert``
+        resets it to unpartitioned.
+        """
+        if isinstance(part_expr, str):
+            part_expr = F.col(part_expr)
+        m = self.manifest()
+        if m["dirs"]:
+            # tolerate the common bootstrap pattern overwrite(empty_df):
+            # empty base dirs carry no rows and can be dropped from the
+            # layout; NON-empty base dirs would make the scoped merge skip
+            # their rows, so those are refused.
+            base = spark.read.schema(self.schema).parquet(
+                *[os.path.join(self.path, d) for d in m["dirs"]])
+            if base.limit(1).count() > 0:
+                raise ValueError(
+                    "table has non-empty unpartitioned base dirs; partition-"
+                    "scoped merge requires a table written only via "
+                    "merge_upsert_partitioned")
+            m = {**m, "dirs": []}
+        part_dirs = dict(m.get("part_dirs", {}))
+        batch = batch.select([f.name for f in self.schema.fields]) \
+            .withColumn("_pv", part_expr.cast("string"))
+        pvals = [r["_pv"] for r in batch.select("_pv").distinct().collect()]
+        for pv in pvals:
+            pv_key = "NULL" if pv is None else str(pv)
+            b = (batch.where(F.col("_pv").isNull() if pv is None
+                             else (F.col("_pv") == pv))
+                 .drop("_pv").dropDuplicates(key_cols))
+            old = part_dirs.get(pv_key, [])
+            if old:
+                existing = spark.read.schema(self.schema).parquet(
+                    *[os.path.join(self.path, d) for d in old])
+                keep = existing.join(b.select(*key_cols), key_cols, "left_anti")
+                merged = keep.unionByName(b)
+            else:
+                merged = b
+            part_dirs[pv_key] = [self._write_data(merged)]
+        return self._commit_manifest([], meta or {}, expected_version,
+                                     m.get("deletes", []), part_dirs)
+
+    def partition_layout(self) -> dict[str, list[str]]:
+        """Current partition-value → data-dirs mapping (test/inspection)."""
+        return dict(self.manifest().get("part_dirs", {}))
+
     def rollback(self, version: int) -> None:
         """Reset CURRENT to an earlier snapshot (data dirs are immutable, so
         this is metadata-only — used by crash recovery to discard a
@@ -220,6 +291,8 @@ class SnapshotTable:
                 m = self.manifest(v)
                 live.update(m["dirs"])
                 live.update(e["dir"] for e in m.get("deletes", []))
+                live.update(d for pd in m.get("part_dirs", {}).values()
+                            for d in pd)
             except FileNotFoundError:
                 pass
         for entry in os.listdir(self.path):

@@ -84,3 +84,71 @@ def test_vacuum_keeps_live_and_delete_dirs(spark, table, tmp_path):
     # current state must remain readable after vacuum
     assert table.read(spark).count() == 0  # row 2 deleted, row 1 overwritten away
     table.vacuum(keep_last=3)
+
+
+# -- partition-scoped MERGE (K1 at scale) --------------------------------------
+
+PSCHEMA = T.StructType([
+    T.StructField("k", T.LongType(), False),
+    T.StructField("day", T.StringType(), True),
+    T.StructField("v", T.StringType(), True),
+])
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, PSCHEMA)
+
+
+def test_partitioned_merge_rewrites_only_touched_days(spark, tmp_path):
+    import os
+    t = SnapshotTable(str(tmp_path / "pt"), PSCHEMA)
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"),
+                            (4, "d3", "d")]),
+        key_cols=["k"], part_expr="day")
+    layout0 = t.partition_layout()
+    assert set(layout0) == {"d1", "d2", "d3"}
+    d2_dir, d3_dir = layout0["d2"], layout0["d3"]
+    d2_files = sorted(os.listdir(os.path.join(t.path, d2_dir[0])))
+
+    # merge touching only d1: update k=2, insert k=5
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(2, "d1", "B"), (5, "d1", "e")]),
+        key_cols=["k"], part_expr="day")
+    layout1 = t.partition_layout()
+    # untouched partitions: same dirs, same files (zero rewrite)
+    assert layout1["d2"] == d2_dir and layout1["d3"] == d3_dir
+    assert sorted(os.listdir(os.path.join(t.path, d2_dir[0]))) == d2_files
+    # touched partition re-written
+    assert layout1["d1"] != layout0["d1"]
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")}
+
+
+def test_partitioned_merge_null_partition(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "pt2"), PSCHEMA)
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, None, "x"), (2, "d1", "y")]),
+        key_cols=["k"], part_expr="day")
+    assert "NULL" in t.partition_layout()
+    # upsert into the null partition
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, None, "X")]), key_cols=["k"], part_expr="day")
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "X"), (2, "y")}
+    # a later append leaves partition dirs visible (read = union), but the
+    # table then refuses further partition-scoped merges (mixed layout
+    # would silently skip base-dir rows of touched partitions)
+    t.append(_pdf(spark, [(9, "d9", "z")]))
+    assert t.read(spark).count() == 3
+    with pytest.raises(ValueError):
+        t.merge_upsert_partitioned(spark, _pdf(spark, [(3, "d1", "w")]),
+                                   key_cols=["k"], part_expr="day")
+
+
+def test_partitioned_merge_refuses_mixed_layout(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "pt3"), PSCHEMA)
+    t.overwrite(_pdf(spark, [(1, "d1", "a")]))
+    with pytest.raises(ValueError):
+        t.merge_upsert_partitioned(spark, _pdf(spark, [(2, "d1", "b")]),
+                                   key_cols=["k"], part_expr="day")
