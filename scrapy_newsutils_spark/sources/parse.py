@@ -30,6 +30,7 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -39,6 +40,8 @@ class PageFacts:
     text_parts: list[str] = field(default_factory=list)
     links: list[tuple[str, str]] = field(default_factory=list)  # (url, section)
     images: list[str] = field(default_factory=list)
+    videos: list[str] = field(default_factory=list)
+    authors: list[str] = field(default_factory=list)
     logo: str | None = None
     meta: dict[str, str] = field(default_factory=dict)
 
@@ -59,6 +62,7 @@ class _Extractor(HTMLParser):
         self._title_depth = 0
         self._skip_depth = 0
         self._in_anchor: str | None = None
+        self._in_author_anchor = False
 
     def _section(self) -> str:
         for cls in reversed(self._stack):
@@ -87,7 +91,21 @@ class _Extractor(HTMLParser):
             if self.out.logo is None and _looks_like_logo(
                     src, a, self._in_anchor, self.base):
                 self.out.logo = src
+        # S3 videos: newspaper's Article.movies analog — <video>/<source>
+        # plus embedded players (crawl/spiders.py:125 videos=a.movies)
+        if tag in ("video", "source", "embed") and a.get("src"):
+            self.out.videos.append(urljoin(self.base, a["src"]))
+        if tag == "iframe" and a.get("src") and _VIDEO_HOST_RE.search(a["src"]):
+            self.out.videos.append(urljoin(self.base, a["src"]))
+        # S3 authors: meta author tags + rel=author anchors
+        # (crawl/spiders.py:193-197 get_authors; items.py Author struct)
+        if tag == "meta" and a.get("name", "").lower() == "author" and a.get("content"):
+            self.out.authors.append(a["content"].strip())
+        if tag == "a" and "author" in (a.get("rel") or ""):
+            self._in_author_anchor = True
         if tag == "meta" and a.get("property") and a.get("content"):
+            if a["property"] == "article:author":
+                self.out.authors.append(a["content"].strip())
             self.out.meta[a["property"]] = a["content"]
 
     def handle_endtag(self, tag):
@@ -101,10 +119,15 @@ class _Extractor(HTMLParser):
             self._text_depth -= 1
         if tag == "a":
             self._in_anchor = None
+            self._in_author_anchor = False
 
     def handle_data(self, data):
         if self._skip_depth:
             return
+        if self._in_author_anchor:
+            s = data.strip()
+            if s:
+                self.out.authors.append(s)
         if self._title_depth and not self.out.title:
             self.out.title = data.strip()
         elif self._text_depth:
@@ -114,6 +137,40 @@ class _Extractor(HTMLParser):
 
 
 _LOGO_RE = re.compile(r"logo", re.IGNORECASE)
+_VIDEO_HOST_RE = re.compile(r"youtube\.com|youtu\.be|vimeo\.com|dailymotion\.com|\.mp4($|\?)",
+                            re.IGNORECASE)
+_WORD_RE = re.compile(r"[a-z0-9']+")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+MAX_KEYWORDS = 10
+EXCERPT_SENTENCES = 2
+
+
+def _nlp_keywords_excerpt(title: str, text: str) -> tuple[list[str], str]:
+    """Deterministic ``Article.nlp()`` analog (crawl/spiders.py:104,123-127:
+    keywords=a.keywords, excerpt=a.summary): keywords = top-tf lowercase
+    tokens minus stopwords (tf DESC, token ASC tiebreak); excerpt = the
+    ``EXCERPT_SENTENCES`` sentences with the highest keyword mass, emitted
+    in document order — the same scoring family newspaper3k's summarizer
+    uses, with no model dependency."""
+    from ..functions.text import STOPWORDS
+
+    stop = set(STOPWORDS)
+    tf: dict[str, int] = {}
+    for w in _WORD_RE.findall((title + " " + text).lower()):
+        if w not in stop and len(w) > 1:
+            tf[w] = tf.get(w, 0) + 1
+    keywords = [w for w, _ in
+                sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_KEYWORDS]]
+    kw = set(keywords)
+    sents = [s for s in _SENT_SPLIT_RE.split(text) if s.strip()]
+    scored = sorted(
+        ((sum(tf[w] for w in set(_WORD_RE.findall(s.lower())) if w in kw), i, s)
+         for i, s in enumerate(sents)),
+        key=lambda t: (-t[0], t[1]),
+    )[:EXCERPT_SENTENCES]
+    excerpt = " ".join(s for _, _, s in sorted(scored, key=lambda t: t[1]))
+    return keywords, excerpt
 
 
 def _looks_like_logo(src: str, attrs: dict, anchor_href: str | None,
@@ -151,10 +208,21 @@ def parse_page(html: str, base_url: str,
         {"url": u, "link_type": sec_to_type.get(sec, "")}
         for u, sec in facts.links
     ]
+    title = facts.meta.get("og:title", facts.title)
+    text = " ".join(facts.text_parts)
+    keywords, excerpt = _nlp_keywords_excerpt(title, text)
+    seen_a = set()
+    authors = [{"name": a, "profile_image": "", "role": ""}
+               for a in facts.authors
+               if not (a in seen_a or seen_a.add(a))]
     return {
-        "title": facts.meta.get("og:title", facts.title),
-        "text": " ".join(facts.text_parts),
+        "title": title,
+        "text": text,
+        "excerpt": excerpt,
+        "keywords": keywords,
+        "authors": authors,
         "images": facts.images,
+        "videos": facts.videos,
         "top_image": facts.meta.get("og:image",
                                     facts.images[0] if facts.images else None),
         "logo": facts.logo,
@@ -167,7 +235,15 @@ PARSED_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("title", T.StringType()),
     T.StructField("text", T.StringType()),
+    T.StructField("excerpt", T.StringType()),
+    T.StructField("keywords", T.ArrayType(T.StringType())),
+    T.StructField("authors", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("profile_image", T.StringType()),
+        T.StructField("role", T.StringType()),
+    ]))),
     T.StructField("images", T.ArrayType(T.StringType())),
+    T.StructField("videos", T.ArrayType(T.StringType())),
     T.StructField("top_image", T.StringType()),
     T.StructField("logo", T.StringType()),
     T.StructField("publish_time", T.StringType()),
@@ -176,6 +252,48 @@ PARSED_SCHEMA = T.StructType([
         T.StructField("link_type", T.StringType()),
     ]))),
 ])
+
+
+def posts_from_parsed(parsed: DataFrame, source_url,
+                      country: str = "ZZ", post_type: str = "default",
+                      auto_publish: bool = True) -> DataFrame:
+    """``mk_post`` analog: PARSED_SCHEMA rows → POSTS-schema rows with the
+    reference's default presets (crawl/spiders.py:112-136: version=1,
+    is_scrap=True, is_draft=not auto_publish, tags=[], short_link = url
+    minus source prefix, link_hash = md5(short_link)+'.'+epoch). This is
+    the S3 carry path: keywords/authors/videos/excerpt flow from the parse
+    stage into the posts sink."""
+    from .. import schemas
+    from ..functions import urls as U
+
+    src = F.lit(source_url) if isinstance(source_url, str) else source_url
+    sl = U.short_link(F.col("url"), src)
+    created = F.current_timestamp()
+    pt = F.to_timestamp(F.col("publish_time"))
+    return parsed.select(
+        F.xxhash64(F.col("url")).alias("post_id"),
+        F.lit(country).alias("country"),
+        F.col("url").alias("link"),
+        sl.alias("short_link"),
+        U.link_hash(sl, created).alias("link_hash"),
+        F.lit(post_type).alias("type"),
+        "title", "text", "excerpt",
+        pt.alias("publish_time"),
+        pt.alias("modified_time"),
+        "top_image", "images", "videos", "keywords",
+        F.array().cast("array<string>").alias("tags"),
+        F.col("authors").cast(schemas.POSTS["authors"].dataType).alias("authors"),
+        F.lit(None).cast(schemas.PAPER).alias("paper"),
+        F.lit(1).alias("version"),
+        F.lit(not auto_publish).alias("is_draft"),
+        F.lit(True).alias("is_scrap"),
+        F.lit(None).cast("string").alias("category"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("string").alias("summary"),
+        F.array().cast(schemas.POSTS["siblings"].dataType).alias("siblings"),
+        F.array().cast(schemas.POSTS["related"].dataType).alias("related"),
+        created.alias("created_ts"),
+    )
 
 
 def parse_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html",

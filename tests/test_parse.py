@@ -82,3 +82,61 @@ def test_parse_pages_dataframe_stage(spark):
     assert rows["https://news.example.com/p/1"]["title"] == "Harbor storm"
     assert len(rows["https://news.example.com/p/1"]["outlinks"]) == 4
     assert rows["https://y.com/p"]["text"] == "tiny"
+
+
+NLP_HTML = """
+<html><head><title>Storm batters harbor</title>
+<meta name="author" content="Ada Writer">
+<meta property="article:published_time" content="2024-03-02T10:00:00Z">
+</head><body>
+<article class="post-body">
+<p>The storm battered the harbor. The storm damage closed the harbor market.</p>
+<p>Officials said repairs begin tomorrow. The weather was mild inland.</p>
+<a rel="author" href="/staff/bob">Bob Byline</a>
+<video src="/clips/storm.mp4"></video>
+<iframe src="https://www.youtube.com/embed/abc123"></iframe>
+<iframe src="https://ads.example.com/frame"></iframe>
+</article>
+</body></html>
+"""
+
+
+def test_parse_nlp_fields_keywords_excerpt():
+    d = parse_page(NLP_HTML, "https://news.example.com")
+    # keywords: top-tf tokens minus stopwords; 'storm' (3x) and 'harbor' (3x) lead
+    assert d["keywords"][:2] == ["harbor", "storm"]  # tf tie → alpha order
+    assert "the" not in d["keywords"]
+    # excerpt: the keyword-heaviest sentences, in document order
+    assert "The storm battered the harbor." in d["excerpt"]
+    assert "mild inland" not in d["excerpt"]
+
+
+def test_parse_authors_and_videos():
+    d = parse_page(NLP_HTML, "https://news.example.com")
+    names = [a["name"] for a in d["authors"]]
+    assert names == ["Ada Writer", "Bob Byline"]
+    assert all(a["profile_image"] == "" and a["role"] == "" for a in d["authors"])
+    assert "https://news.example.com/clips/storm.mp4" in d["videos"]
+    assert "https://www.youtube.com/embed/abc123" in d["videos"]
+    assert not any("ads.example.com" in v for v in d["videos"])  # non-video iframe
+
+
+def test_posts_from_parsed_carries_nlp_fields(spark):
+    from pyspark.sql import functions as F
+    from scrapy_newsutils_spark import schemas
+    from scrapy_newsutils_spark.sources.parse import posts_from_parsed
+    df = spark.createDataFrame(
+        [("https://news.example.com/p/1", NLP_HTML)], "url string, html string")
+    posts = posts_from_parsed(parse_pages(df), "https://news.example.com",
+                              country="FR", post_type="featured",
+                              auto_publish=False)
+    assert [(f.name, f.dataType) for f in posts.schema.fields] == \
+        [(f.name, f.dataType) for f in schemas.POSTS.fields]
+    r = posts.first()
+    assert r["short_link"] == "/p/1"
+    assert r["keywords"][0] == "harbor"
+    assert [a["name"] for a in r["authors"]] == ["Ada Writer", "Bob Byline"]
+    assert r["videos"] and r["excerpt"]
+    assert r["version"] == 1 and r["is_scrap"] is True and r["is_draft"] is True
+    assert r["type"] == "featured" and r["country"] == "FR"
+    assert r["link_hash"].startswith(__import__("hashlib").md5(b"/p/1").hexdigest()[:8])
