@@ -31,27 +31,45 @@ def pop_order() -> list:
 
 
 NARROW_POP_MAX_K = 256
+# broadcast hash relations cost ~10x serialized size in JVM objects; ~2M
+# 16-byte winner rows ≈ 32 MB serialized ≈ a few hundred MB relation — the
+# practical ceiling for a comfortable broadcast on 4-8 GB executors
+NARROW_POP_MAX_WINNERS = 2_000_000
 
 
 def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
-                       narrow: bool | None = None) -> DataFrame:
+                       narrow: bool | None = None,
+                       n_hosts_hint: int | None = None) -> DataFrame:
     """Top-k URLs per host by crawl order; returns frontier rows + ``pop_rank``.
 
     ``salts=1`` degenerates to the single-window plan (used by the oracle
     comparison); the default keeps every sort partition ~1/16 of a host.
 
-    Two physical strategies, picked by winner-set size (``narrow=None``):
+    Two physical strategies, picked by estimated WINNER-SET size
+    (``narrow=None``) — k alone is not enough, the broadcast is k·|hosts|
+    rows (ADVICE r1):
 
-    - small k (≤ NARROW_POP_MAX_K): rank a (url_key, host, priority, ts)
-      ≈ 40 B/row projection, broadcast the ≤ k·|hosts| winners back onto the
-      base — one narrow shuffle + one base re-scan instead of shuffling
-      ~200 B rows. At 10^10 rows: a 400 GB shuffle instead of 2 TB.
-    - large k: the winner set is too big to broadcast cheaply (driver-side
+    - narrow: rank a (url_key, host, priority, ts) ≈ 40 B/row projection,
+      broadcast the ≤ k·|hosts| winners back onto the base — one narrow
+      shuffle + one base re-scan instead of shuffling ~200 B rows. At 10^10
+      rows: a 400 GB shuffle instead of 2 TB. Chosen when k ≤
+      NARROW_POP_MAX_K AND k·|hosts| ≤ NARROW_POP_MAX_WINNERS.
+    - wide: the winner set is too big to broadcast cheaply (driver-side
       hash-relation build is serial); a single full-width window avoids the
       join-back entirely.
+
+    ``n_hosts_hint``: caller-supplied approximate host count (the epoch
+    loop caches one ``approx_count_distinct`` per engine). Without it and
+    with k within bounds, a one-column approx-distinct scan decides — still
+    cheaper than a wrong broadcast wedging the job.
     """
     if narrow is None:
         narrow = k <= NARROW_POP_MAX_K
+        if narrow:
+            if n_hosts_hint is None:
+                n_hosts_hint = frontier.agg(
+                    F.approx_count_distinct("host").alias("n")).first()["n"]
+            narrow = k * max(int(n_hosts_hint), 1) <= NARROW_POP_MAX_WINNERS
     if narrow:
         base = frontier.select("url_key", "host", "priority", "discovered_ts")
     else:

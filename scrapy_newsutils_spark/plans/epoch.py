@@ -123,6 +123,9 @@ class CrawlEngine:
         # the table; an overfilled or insert-failed filter is discarded and
         # rebuilt with more buckets (never silently degraded).
         self._filter: dedup.PartitionedFilter | None = None
+        # approximate |hosts|, computed once per engine: gates the frontier
+        # pop's narrow-vs-wide plan without a per-epoch distinct scan
+        self._n_hosts_hint: int | None = None
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, frontier_df: DataFrame, url_seen_df: DataFrame | None = None) -> None:
@@ -214,7 +217,12 @@ class CrawlEngine:
         seen = self.url_seen_t.read(spark)
 
         # 1. priority pop (skew-salted tree top-k)
-        popped = frontier_ops.pop_top_k_per_host(frontier, self.top_k, salts=self.salts).cache()
+        if self._n_hosts_hint is None:
+            self._n_hosts_hint = int(frontier.agg(
+                F.approx_count_distinct("host").alias("n")).first()["n"])
+        popped = frontier_ops.pop_top_k_per_host(
+            frontier, self.top_k, salts=self.salts,
+            n_hosts_hint=self._n_hosts_hint).cache()
 
         # 2. URL-seen membership (epoch-level: state table vs this batch)
         if self.use_bloom:
@@ -285,10 +293,25 @@ class CrawlEngine:
                 self.discovery_fanout, self.discovery_images,
             ).cache()
             known = frontier.select("url_key")
+            # several same-epoch pages can discover the same new URL: OPIC
+            # cash SUMS across parents (dropDuplicates would silently drop
+            # the other parents' cash and pick a partition-order-dependent
+            # survivor — ADVICE r1); url/surt/host/image_id are pure
+            # functions of url_key, so MIN just picks the single value
+            # deterministically.
             brand_new = (
                 out.join(known, "url_key", "left_anti")
                 .join(seen.select("url_key"), "url_key", "left_anti")
-                .dropDuplicates(["url_key"])
+                .groupBy("url_key")
+                .agg(
+                    F.min("url").alias("url"),
+                    F.min("url_surt").alias("url_surt"),
+                    F.min("host").alias("host"),
+                    F.sum("cash").alias("cash"),
+                    F.min("depth").alias("depth"),
+                    F.min("discovered_ts").alias("discovered_ts"),
+                    F.min("image_id").alias("image_id"),
+                )
             )
             additions = brand_new.select(
                 "url", "url_surt", "url_key", "host",
