@@ -17,9 +17,26 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas
+from .. import conf, schemas
 from ..operators import metapost, pipeline, similarity, summarize
 from ..sources.snapshot_table import SnapshotTable
+
+
+def _canon(df: DataFrame, names: dict[str, str]) -> DataFrame:
+    """Configured computed-field names → canonical role names, so every
+    operator below works on the canonical schema (PostMeta analog:
+    the role→name map is a view concern, conf.py)."""
+    for role, name in names.items():
+        if name != role:
+            df = df.withColumnRenamed(name, role)
+    return df
+
+
+def _uncanon(df: DataFrame, names: dict[str, str]) -> DataFrame:
+    for role, name in names.items():
+        if name != role:
+            df = df.withColumnRenamed(role, name)
+    return df
 
 
 def _merge_day(spark: SparkSession, posts_table: SnapshotTable,
@@ -33,22 +50,29 @@ def _merge_day(spark: SparkSession, posts_table: SnapshotTable,
 
 
 def day_posts(spark: SparkSession, posts_table: SnapshotTable,
-              day: dt.date) -> DataFrame:
+              day: dt.date,
+              field_names: dict[str, str] | None = None) -> DataFrame:
     """S8: partition-pruned day scan, metaposts excluded from NLP input
-    (F3 — conf/mixins.py:118-133)."""
+    (F3 — conf/mixins.py:118-133). ``field_names`` maps computed-field
+    roles to the table's configured column names; rows come back
+    canonical."""
+    names = conf.resolve_field_names(field_names)
     posts = posts_table.read(spark).where(
         F.to_date("publish_time") == day.isoformat())
-    return pipeline.filter_metapost(posts)
+    return pipeline.filter_metapost(_canon(posts, names))
 
 
 def save_similarity(spark: SparkSession, posts_table: SnapshotTable,
                     day: dt.date,
                     siblings_threshold: float = similarity.SIBLINGS_THRESHOLD,
                     related_threshold: float = similarity.RELATED_THRESHOLD,
-                    top_n: int = similarity.MAX_DOCS) -> int:
-    """J5/J6/W1: similarity edges → disjoint bands → top-n → per-post
-    sibling/related lists merged back into the day's rows."""
-    posts = day_posts(spark, posts_table, day).cache()
+                    top_n: int = similarity.MAX_DOCS,
+                    field_names: dict[str, str] | None = None) -> int:
+    """J5/J6/W1: similarity edges → reference banding (subtract-after-
+    top-n) → per-post sibling/related lists merged back into the day's
+    rows."""
+    names = conf.resolve_field_names(field_names)
+    posts = day_posts(spark, posts_table, day, field_names).cache()
     vec = similarity.tfidf_vectors(posts, "post_id", similarity.get_post_text())
     edges = similarity.mirror_pairs(
         similarity.cosine_pairs(vec, min_score=related_threshold))
@@ -63,7 +87,9 @@ def save_similarity(spark: SparkSession, posts_table: SnapshotTable,
         .withColumn("related", F.coalesce(
             "related", F.array().cast(schemas.POSTS["related"].dataType)))
         .select([f.name for f in schemas.POSTS.fields])
-    ).cache()
+    )
+    updated = _uncanon(updated, names) \
+        .select([f.name for f in posts_table.schema.fields]).cache()
     n = updated.count()
     _merge_day(spark, posts_table, updated)
     posts.unpersist(); updated.unpersist()
@@ -71,12 +97,16 @@ def save_similarity(spark: SparkSession, posts_table: SnapshotTable,
 
 
 def save_summary(spark: SparkSession, posts_table: SnapshotTable,
-                 day: dt.date) -> int:
+                 day: dt.date,
+                 field_names: dict[str, str] | None = None) -> int:
     """U2: summary/caption/category columns written for the day's posts."""
-    posts = day_posts(spark, posts_table, day)
+    names = conf.resolve_field_names(field_names)
+    posts = day_posts(spark, posts_table, day, field_names)
     updated = summarize.save_summary(
         posts, text_expr=similarity.get_post_text()
-    ).select([f.name for f in schemas.POSTS.fields]).cache()
+    ).select([f.name for f in schemas.POSTS.fields])
+    updated = _uncanon(updated, names) \
+        .select([f.name for f in posts_table.schema.fields]).cache()
     n = updated.count()
     _merge_day(spark, posts_table, updated)
     updated.unpersist()
@@ -85,14 +115,16 @@ def save_summary(spark: SparkSession, posts_table: SnapshotTable,
 
 def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
                   day: dt.date, baseurl: str = "https://meta.example.com",
-                  start_time: dt.datetime | None = None) -> int:
+                  start_time: dt.datetime | None = None,
+                  field_names: dict[str, str] | None = None) -> int:
     """J4/A2/A3: metapost rows built from sibling clusters and upserted.
 
     Reference matches existing metaposts on (version=lookup_version, type)
     (nlp.py:250-265); the engine's version_hash is deterministic, so the
     upsert key is post_id = xxhash64(version_hash) — same idempotency:
     re-running over unchanged clusters rewrites identical rows."""
-    posts = day_posts(spark, posts_table, day)
+    names = conf.resolve_field_names(field_names)
+    posts = day_posts(spark, posts_table, day, field_names)
     mp = metapost.build_metaposts(posts, baseurl=baseurl,
                                   start_time=start_time)
     summarized = mp.withColumn(
@@ -119,7 +151,9 @@ def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
         F.array().cast(schemas.POSTS["siblings"].dataType).alias("siblings"),
         F.array().cast(schemas.POSTS["related"].dataType).alias("related"),
         F.current_timestamp().alias("created_ts"),
-    ).select([f.name for f in schemas.POSTS.fields]).cache()
+    ).select([f.name for f in schemas.POSTS.fields])
+    rows = _uncanon(rows, names) \
+        .select([f.name for f in posts_table.schema.fields]).cache()
     n = rows.count()
     _merge_day(spark, posts_table, rows)
     rows.unpersist()
@@ -127,12 +161,14 @@ def save_metapost(spark: SparkSession, posts_table: SnapshotTable,
 
 
 def save_day(spark: SparkSession, posts_table: SnapshotTable, day: dt.date,
-             verbs: tuple[str, ...] = ("similarity", "summary", "metapost")
-             ) -> dict[str, int]:
-    """DayNlp.save_day: the three verbs chained (nlp.py:76-100)."""
+             verbs: tuple[str, ...] = ("similarity", "summary", "metapost"),
+             field_names: dict[str, str] | None = None) -> dict[str, int]:
+    """DayNlp.save_day: the three verbs chained (nlp.py:76-100).
+    ``field_names`` renames the computed NLP columns table-wide (PostMeta
+    analog — conf.build_posts_schema builds the matching table schema)."""
     out = {}
     for verb in verbs:
         fn = {"similarity": save_similarity, "summary": save_summary,
               "metapost": save_metapost}[verb]
-        out[verb] = fn(spark, posts_table, day)
+        out[verb] = fn(spark, posts_table, day, field_names=field_names)
     return out
