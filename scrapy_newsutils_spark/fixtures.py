@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import schemas
 from .functions.images import encode_image, phash64
@@ -290,9 +291,59 @@ def sport_events_table(spark: SparkSession, n: int = 500) -> DataFrame:
                 "dateEvent": (BASE_TS + dt.timedelta(days=key_i % 60)).date(),
             }
         )
-    df = spark.createDataFrame(pd.DataFrame(rows), schema=schemas.SPORT_EVENTS)
+    from . import conf
+
+    df = conf.with_defaults(
+        spark.createDataFrame(pd.DataFrame(rows)), schemas.SPORT_EVENTS)
     # deterministic id from the compound key (reference C8)
     return df.withColumn(
         "event_pk",
         F.xxhash64(F.concat_ws("", "idLeague", "idHomeTeam", "idAwayTeam", "idEvent")),
     )
+
+
+def ezine_api_table(spark: SparkSession,
+                    league_ids: tuple = ("4328", "4335", "4346", "4387"),
+                    season: str = "2024-2025",
+                    events_per_league: int = 25) -> DataFrame:
+    """Synthetic ``eventsseason.php`` response table: the sandbox stand-in
+    for the thesportsdb HTTP API (a join replaces ``requests.get``, the same
+    pattern as the images payload join). Deterministic full-45-field rows;
+    ~1 in 5 events appears twice with a later dateEvent and bumped score —
+    the upsert-overwrite case the reference replays via update_one."""
+    from . import conf
+
+    sports = {"4328": "Soccer", "4335": "Soccer", "4346": "Soccer",
+              "4387": "Basketball"}
+    rows = []
+    for lid in league_ids:
+        sport = sports.get(lid, "Soccer")
+        for j in range(1, events_per_league + 1):
+            ide = f"{lid}{j:03d}"
+            base = {
+                "idEvent": ide,
+                "idLeague": lid,
+                "idHomeTeam": f"T{(int(ide) * 3) % 20}",
+                "idAwayTeam": f"T{(int(ide) * 5) % 20}",
+                "strSport": sport,
+                "strLeague": f"League {lid}",
+                "strSeason": season,
+                "strEvent": f"T{(int(ide) * 3) % 20} vs T{(int(ide) * 5) % 20}",
+                "strHomeTeam": f"Team {(int(ide) * 3) % 20}",
+                "strAwayTeam": f"Team {(int(ide) * 5) % 20}",
+                "intHomeScore": (int(ide) * 7) % 6,
+                "intAwayScore": (int(ide) * 11) % 6,
+                "intRound": j,
+                "strStatus": "Match Finished",
+                "dateEvent": (BASE_TS + dt.timedelta(days=j)).date(),
+            }
+            rows.append(base)
+            if j % 5 == 0:  # duplicate compound key, later correction
+                rows.append({**base,
+                             "intHomeScore": base["intHomeScore"] + 1,
+                             "strStatus": "After Extra Time",
+                             "dateEvent": base["dateEvent"] + dt.timedelta(days=1)})
+    api_schema = T.StructType([f for f in schemas.SPORT_EVENTS.fields
+                               if f.name != "event_pk"])
+    return conf.with_defaults(spark.createDataFrame(pd.DataFrame(rows)),
+                              api_schema)

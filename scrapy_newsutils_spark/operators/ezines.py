@@ -15,7 +15,7 @@ stage; the sink is merge_upsert on event_pk partitioned by strSport.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 COMPOUND_KEY = ("idLeague", "idHomeTeam", "idAwayTeam", "idEvent")
@@ -46,3 +46,82 @@ def fetch_plan(sports: DataFrame, leagues: DataFrame) -> DataFrame:
         "sport_id", "league_id",
         F.concat_ws("", F.lit("eventsseason.php?id="), F.col("league_id")).alias("endpoint"),
     )
+
+
+API_HOST = "api.sports.example"
+
+
+def season_plan(sports: DataFrame, leagues: DataFrame, season: str) -> DataFrame:
+    """``fetch_plan`` rows shaped for the politeness gate: full request URL
+    on the single API host, season param appended
+    (thesportsdb.py:766-776 ``fetch(LEAGUE_SEASON_EVENTS, id=…, s=season)``)."""
+    plan = fetch_plan(sports, leagues).withColumn(
+        "endpoint", F.concat(F.col("endpoint"), F.lit(f"&s={season}")))
+    return plan.select(
+        "sport_id", "league_id", "endpoint",
+        F.concat(F.lit(f"https://{API_HOST}/v1/json/2/"), F.col("endpoint")).alias("url"),
+        F.lit(API_HOST).alias("host"),
+    )
+
+
+def season_events(api: DataFrame, taken_plan: DataFrame,
+                  season: str) -> DataFrame:
+    """One epoch's API 'responses': the synthetic season table joined to the
+    endpoints fetched this epoch (production swaps this broadcast join for
+    an HTTP call inside mapInPandas — the same payload-join pattern as the
+    image fetch stage). Emits SPORT_EVENTS rows: deterministic pk + batch-
+    internal last-write-wins."""
+    from .. import schemas
+
+    keys = taken_plan.select(F.col("league_id").alias("idLeague")).distinct()
+    events = api.where(F.col("strSeason") == season).join(
+        F.broadcast(keys), "idLeague")
+    rows = event_pk(events).select(
+        [f.name for f in schemas.SPORT_EVENTS.fields])
+    return dedupe_latest(rows)
+
+
+def run_schedules_job(spark, table, sports: DataFrame, leagues: DataFrame,
+                      api: DataFrame, season: str,
+                      epoch_budget_ms: int = 60_000,
+                      max_epochs: int = 64) -> list[int]:
+    """``SchedulesMixin.save_all`` (thesportsdb.py:758-812) as politeness-
+    gated epochs over the season plan:
+
+    - the API host carries ``crawl_delay_ms = 60000`` — the reference's
+      ``@limits(calls=1, period=60 s)`` (:698-699) — so with a 60 s epoch
+      budget the token bucket admits exactly ONE request per epoch; the
+      rest defer and the loop runs until the plan drains (T6 end-to-end
+      through the same ``with_politeness`` gate the crawler uses);
+    - each epoch's events upsert into per-sport partitions on the
+      deterministic compound-key pk (K3: ``update_one(upsert=True)`` into
+      the collection named by strSport, :782-810).
+
+    Returns the per-epoch fetched-endpoint counts.
+    """
+    from .. import schemas
+    from . import politeness
+
+    robots = spark.createDataFrame(
+        [(API_HOST, 60_000, [], 1)], schemas.ROBOTS)
+    plan = season_plan(sports, leagues, season)
+    done: list[str] = []
+    counts: list[int] = []
+    for _ in range(max_epochs):
+        remaining = plan.where(~F.col("endpoint").isin(done)) if done else plan
+        w = Window.partitionBy("host").orderBy("sport_id", "league_id")
+        ranked = remaining.withColumn("pop_rank", F.row_number().over(w))
+        polite = politeness.with_politeness(ranked, robots, epoch_budget_ms)
+        take = polite.where(F.col("polite_status") == "ok")
+        taken_rows = take.collect()  # tiny dim: |sports|x|leagues| plan rows
+        if not taken_rows:
+            break
+        batch = season_events(api, take, season)
+        table.merge_upsert_partitioned(
+            spark, batch, key_cols=["event_pk"],
+            part_expr=F.lower(F.col("strSport")))
+        done += [r["endpoint"] for r in taken_rows]
+        counts.append(len(taken_rows))
+        if len(done) >= plan.count():
+            break
+    return counts

@@ -643,6 +643,78 @@ GROUP BY 1
 """
 
 
+def q_ezine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/K3/C8 through the SHIPPED ``ezines.event_pk`` + ``dedupe_latest``:
+    deterministic compound-key ids and batch-internal last-write-wins
+    (thesportsdb.py:691-695 mkoid, :782-810 update_one upsert). Season
+    events synthesized Column-only (4 leagues × 25 events; every 5th event
+    replayed with a later dateEvent and bumped score — the correction case
+    the upsert must prefer). The oracle dedups on the raw compound key, so
+    the engine's xxhash64 pk never appears in the output."""
+    from ..operators import ezines
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 4)
+    base = docs.select(
+        (F.col("doc_id") + 1).cast("string").alias("lid"),
+        F.explode(F.sequence(F.lit(1), F.lit(25))).alias("j"),
+    ).select(
+        "lid", "j", ((F.col("lid").cast("int")) * 1000 + F.col("j")).alias("iden"))
+
+    def ev(df, bump: int, date_off: int):
+        return df.select(
+            F.concat(F.col("lid"), F.format_string("%03d", F.col("j"))).alias("idEvent"),
+            F.col("lid").alias("idLeague"),
+            F.concat(F.lit("T"), F.pmod(F.col("iden") * 3, F.lit(20)).cast("string")).alias("idHomeTeam"),
+            F.concat(F.lit("T"), F.pmod(F.col("iden") * 5, F.lit(20)).cast("string")).alias("idAwayTeam"),
+            F.when(F.col("lid").cast("int") % 2 == 0, F.lit("Basketball"))
+            .otherwise(F.lit("Soccer")).alias("strSport"),
+            (F.pmod(F.col("iden") * 7, F.lit(6)).cast("int") + F.lit(bump)).alias("intHomeScore"),
+            F.date_add(F.to_date(F.lit("2024-08-01")),
+                       F.col("j") + F.lit(date_off)).alias("dateEvent"),
+        )
+
+    events = ev(base, 0, 0).unionByName(ev(base.where(F.col("j") % 5 == 0), 1, 1))
+    out = ezines.dedupe_latest(ezines.event_pk(events))
+    return out.select("idEvent", "idLeague", "idHomeTeam", "idAwayTeam",
+                      "strSport", "intHomeScore", "dateEvent")
+
+
+SQL_EZINE_EVENTS = """
+WITH base AS (
+  SELECT CAST(doc_id + 1 AS VARCHAR) AS lid, j.j AS j,
+         (doc_id + 1) * 1000 + j.j AS iden
+  FROM documents, generate_series(1, 25) AS j(j)
+  WHERE doc_id < 4
+),
+ev AS (
+  SELECT lid || lpad(CAST(j AS VARCHAR), 3, '0') AS idEvent,
+         lid AS idLeague,
+         'T' || CAST((iden * 3) % 20 AS VARCHAR) AS idHomeTeam,
+         'T' || CAST((iden * 5) % 20 AS VARCHAR) AS idAwayTeam,
+         CASE WHEN CAST(lid AS INT) % 2 = 0 THEN 'Basketball' ELSE 'Soccer' END AS strSport,
+         CAST((iden * 7) % 6 AS INT) AS intHomeScore,
+         DATE '2024-08-01' + CAST(j AS INT) AS dateEvent
+  FROM base
+  UNION ALL
+  SELECT lid || lpad(CAST(j AS VARCHAR), 3, '0'),
+         lid,
+         'T' || CAST((iden * 3) % 20 AS VARCHAR),
+         'T' || CAST((iden * 5) % 20 AS VARCHAR),
+         CASE WHEN CAST(lid AS INT) % 2 = 0 THEN 'Basketball' ELSE 'Soccer' END,
+         CAST((iden * 7) % 6 + 1 AS INT),
+         DATE '2024-08-01' + CAST(j + 1 AS INT)
+  FROM base WHERE j % 5 = 0
+)
+SELECT idEvent, idLeague, idHomeTeam, idAwayTeam, strSport, intHomeScore, dateEvent
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY idLeague, idHomeTeam, idAwayTeam, idEvent
+    ORDER BY dateEvent DESC) AS rn
+  FROM ev
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # classic scan/agg/join/window coverage (S8/S9, F2, J3, A-aggs, W1, T2, K1)
 
@@ -845,6 +917,7 @@ QUERIES: dict[str, tuple] = {
     "similarity_bands": (q_similarity_bands, SQL_SIMILARITY_BANDS),
     "metapost_agg": (q_metapost_agg, SQL_METAPOST_AGG),
     # text analysis
+    "ezine_events": (q_ezine_events, SQL_EZINE_EVENTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     # classic scan/agg/join/window coverage

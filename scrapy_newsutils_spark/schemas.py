@@ -184,20 +184,31 @@ METRICS = T.StructType(
     ]
 )
 
-# sport_events — e-zine path (flat 45-field item reduced to the key + a few
-# payload cols; deterministic _id from the 4-part compound key,
-# /root/reference/src/newsutils/ezines/thesportsdb.py:637-695)
+# sport_events — e-zine path: the FULL 45-field SportEvent item
+# (/root/reference/src/newsutils/ezines/thesportsdb.py:637-686) plus the
+# engine's deterministic 64-bit pk replacing the reference's ObjectId from
+# the 4-part compound key (:691-695). int*/date* fields are typed (the API
+# ships strings; parsing happens at ingest), everything else is string.
+_SPORT_EVENT_INT_FIELDS = (
+    "intAwayScore", "intRound", "intHomeScore", "intSpectators",
+    "intScore", "intScoreVotes",
+)
+_SPORT_EVENT_STR_FIELDS = (
+    "idEvent", "idSoccerXML", "idAPIfootball", "strEvent",
+    "strEventAlternate", "strFilename", "strSport", "idLeague", "strLeague",
+    "strSeason", "strDescriptionEN", "strHomeTeam", "strAwayTeam",
+    "strOfficial", "strTimestamp", "dateEventLocal", "strTime",
+    "strTimeLocal", "strTVStation", "idHomeTeam", "idAwayTeam", "strResult",
+    "strVenue", "strCountry", "strCity", "strPoster", "strSquare",
+    "strFanart", "strThumb", "strBanner", "strMap", "strTweet1", "strTweet2",
+    "strTweet3", "strVideo", "strStatus", "strPostponed", "strLocked",
+)
+
 SPORT_EVENTS = T.StructType(
-    [
-        T.StructField("event_pk", T.LongType(), False),
-        T.StructField("idLeague", T.StringType(), False),
-        T.StructField("idHomeTeam", T.StringType(), False),
-        T.StructField("idAwayTeam", T.StringType(), False),
-        T.StructField("idEvent", T.StringType(), False),
-        T.StructField("strSport", T.StringType(), False),
-        T.StructField("strEvent", T.StringType(), True),
-        T.StructField("intHomeScore", T.IntegerType(), True),
-        T.StructField("intAwayScore", T.IntegerType(), True),
-        T.StructField("dateEvent", T.DateType(), True),
-    ]
+    [T.StructField("event_pk", T.LongType(), False)]
+    + [T.StructField(n, T.StringType(),
+                     n not in ("idEvent", "idLeague", "idHomeTeam", "idAwayTeam"))
+       for n in _SPORT_EVENT_STR_FIELDS]
+    + [T.StructField(n, T.IntegerType(), True) for n in _SPORT_EVENT_INT_FIELDS]
+    + [T.StructField("dateEvent", T.DateType(), True)]
 )

@@ -170,3 +170,48 @@ def test_ezine_fetch_plan_cross(spark):
     plan = ezines.fetch_plan(sports, leagues)
     assert plan.count() == 6
     assert plan.first()["endpoint"].startswith("eventsseason.php?id=")
+
+
+def test_ezine_schedules_job_e2e(spark, tmp_path):
+    """S7/K3/T6 end-to-end: the season fetch loop drains a 4-endpoint plan
+    at the API's 1-req/60s budget (exactly one fetch per 60s epoch), events
+    land in per-sport partitions under the deterministic compound-key pk,
+    and replayed duplicate events resolve last-write-wins."""
+    from scrapy_newsutils_spark import fixtures, schemas
+    from scrapy_newsutils_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "events"), schemas.SPORT_EVENTS)
+    sports = spark.createDataFrame([("102",)], ["sport_id"])
+    leagues = spark.createDataFrame(
+        [("4328",), ("4335",), ("4346",), ("4387",)], ["league_id"])
+    api = fixtures.ezine_api_table(spark)
+
+    counts = ezines.run_schedules_job(spark, table, sports, leagues, api,
+                                      season="2024-2025")
+    # token bucket at crawl_delay=60000/budget=60000: ONE endpoint per epoch
+    assert counts == [1, 1, 1, 1]
+
+    stored = table.read(spark)
+    assert stored.count() == 4 * 25                      # dups collapsed
+    assert stored.select("event_pk").distinct().count() == 100
+    # per-sport partition layout (K3: one collection per sport)
+    assert set(table.partition_layout()) == {"soccer", "basketball"}
+    # the duplicate rows (j%5==0) were corrections: later date + bumped score
+    fixed = stored.where(F.col("idEvent") == "4328005").first()
+    assert fixed["strStatus"] == "After Extra Time"
+    # all 45 item fields present on stored rows
+    assert len(stored.columns) == 46  # 45 SportEvent fields + event_pk
+
+
+def test_ezine_schedules_job_is_idempotent(spark, tmp_path):
+    from scrapy_newsutils_spark import fixtures, schemas
+    from scrapy_newsutils_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "events"), schemas.SPORT_EVENTS)
+    sports = spark.createDataFrame([("102",)], ["sport_id"])
+    leagues = spark.createDataFrame([("4328",), ("4387",)], ["league_id"])
+    api = fixtures.ezine_api_table(spark)
+    ezines.run_schedules_job(spark, table, sports, leagues, api, "2024-2025")
+    n1 = table.read(spark).count()
+    ezines.run_schedules_job(spark, table, sports, leagues, api, "2024-2025")
+    assert table.read(spark).count() == n1
