@@ -181,3 +181,26 @@ def expand_refs(posts: DataFrame, refs_col: str = "siblings") -> DataFrame:
         F.col("post_id").alias("src"), F.explode(refs_col).alias("ref")
     ).select("src", F.col("ref.post_id").alias("post_id"), F.col("ref.score").alias("score"))
     return edges.join(posts, "post_id", "inner")
+
+
+def expand_related(posts: DataFrame,
+                   fields: tuple[str, ...] = ("siblings", "related")) -> DataFrame:
+    """The full ``expand_related`` round-trip (nlp.py:343-362) over every
+    refs field at once: (src, ref_field, score, <referred post row>) — the
+    reference returns [(Post, stored-ref)] pairs per field; the engine
+    returns the union with ``ref_field`` tagging which list the edge came
+    from. Dangling refs drop out (inner join), matching the reference's
+    next(filter(...), None) skip."""
+    out = None
+    for f_name in fields:
+        part = expand_refs(posts, f_name).withColumn("ref_field", F.lit(f_name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def api_projection(posts: DataFrame, id_col: str = "post_id") -> DataFrame:
+    """F6, the API-edge shape (``Post.asdict``, conf/post_item.py:74-78):
+    the storage id column re-emitted as a STRING ``id`` and dropped —
+    consumers never see the engine's 64-bit key, exactly as the reference
+    hides Mongo's ``_id``."""
+    return posts.withColumn("id", F.col(id_col).cast("string")).drop(id_col)

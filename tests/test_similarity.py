@@ -207,3 +207,22 @@ def test_summary_stage_columns(spark, corpus):
 def test_summary_capacity_truncation():
     long = " ".join(["w"] * 5000) + "."
     assert len(summarize._truncate_words(long).split(" ")) == summarize.MAX_WORDS
+
+
+def test_expand_related_multi_field_and_api_projection(spark):
+    posts = spark.createDataFrame(
+        [(1, [(2, 0.9)], [(3, 0.3), (999, 0.2)]),
+         (2, [(1, 0.9)], []),
+         (3, [], [])],
+        "post_id long, siblings array<struct<post_id:long,score:double>>, "
+        "related array<struct<post_id:long,score:double>>",
+    )
+    got = similarity.expand_related(posts).collect()
+    edges = {(r["src"], r["post_id"], r["ref_field"]) for r in got}
+    # both fields expanded; dangling 999 dropped
+    assert (1, 2, "siblings") in edges and (1, 3, "related") in edges
+    assert not any(e[1] == 999 for e in edges)
+
+    api = similarity.api_projection(posts)
+    assert "post_id" not in api.columns and "id" in api.columns
+    assert {r["id"] for r in api.collect()} == {"1", "2", "3"}
