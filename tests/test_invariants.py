@@ -52,6 +52,25 @@ def test_cuckoo_engine_matches_bloom_engine(spark, tmp_path, frontier_df,
     assert run("bloom", "b") == run("cuckoo", "c")
 
 
+def test_store_probe_engine_matches_broadcast_engine(spark, tmp_path,
+                                                     frontier_df, images_df,
+                                                     robots_df, url_seen_df):
+    """filter_probe='store' (per-bucket file loads after a bucket
+    repartition — the no-broadcast 10^10 path) must fetch the exact same
+    URL set as the broadcast probe."""
+    def run(probe, name):
+        eng = CrawlEngine(spark, str(tmp_path / name), images=images_df,
+                          robots=robots_df, top_k=4, salts=4,
+                          filter_probe=probe,
+                          filter_cap_per_bucket=300)  # force >1 bucket
+        eng.bootstrap(frontier_df, url_seen_df)
+        eng.run(2)
+        return sorted(r["url_key"] for r in
+                      eng.fetched_t.read(spark).select("url_key").collect())
+
+    assert run("broadcast", "pb") == run("store", "ps")
+
+
 def test_camel_snake_roundtrip():
     assert TX.camel_to_snake("postImages") == "post_images"
     assert TX.camel_to_snake("HTTPResponseCode") == "http_response_code"
