@@ -39,11 +39,24 @@ NARROW_POP_MAX_WINNERS = 2_000_000
 
 def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                        narrow: bool | None = None,
-                       n_hosts_hint: int | None = None) -> DataFrame:
+                       n_hosts_hint: int | None = None,
+                       n_rows_hint: int | None = None) -> DataFrame:
     """Top-k URLs per host by crawl order; returns frontier rows + ``pop_rank``.
 
     ``salts=1`` degenerates to the single-window plan (used by the oracle
     comparison); the default keeps every sort partition ~1/16 of a host.
+
+    Spark ≥3.5 already runs a map-side partial top-k for rank-filtered
+    windows (``WindowGroupLimitExec`` below the Exchange — verified in this
+    build's plans), so the plain window is itself a tree top-k with ONE
+    shuffle: per-host reduce input ≤ k · #map-partitions. The explicit salt
+    phase pays a SECOND full shuffle to tighten that bound to k·S — worth
+    it only when phase 1 actually filters, i.e. k·S < rows-per-host. With
+    ``n_rows_hint`` (caller-maintained frontier size estimate; the epoch
+    loop does the bookkeeping) the operator collapses to the single-window
+    plan when k·S·|hosts| ≥ rows — at that shape phase 1 keeps every row
+    and its shuffle is pure overhead (measured 2x pop cost at the bench's
+    k=20000, 150k rows/host).
 
     Two physical strategies, picked by estimated WINNER-SET size
     (``narrow=None``) — k alone is not enough, the broadcast is k·|hosts|
@@ -70,6 +83,9 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                 n_hosts_hint = frontier.agg(
                     F.approx_count_distinct("host").alias("n")).first()["n"]
             narrow = k * max(int(n_hosts_hint), 1) <= NARROW_POP_MAX_WINNERS
+    if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None
+            and k * salts * max(int(n_hosts_hint), 1) >= int(n_rows_hint)):
+        salts = 1  # phase 1 would keep every row: let WindowGroupLimit work
     if narrow:
         base = frontier.select("url_key", "host", "priority", "discovered_ts")
     else:

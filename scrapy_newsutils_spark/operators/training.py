@@ -235,6 +235,90 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: pairs → components → canonical keeper
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 30) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id reachable from it. Transitive closure of the
+    near-dup relation: A≈B and B≈C must dedup as ONE group even when A≉C
+    directly, so pairwise output alone under-deduplicates.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
+    rounds — NOT min-label propagation, whose round count is the graph
+    DIAMETER (a 10^6-long chain of near-dups takes 10^6 rounds; real crawl
+    corpora contain exactly such template chains). Every round is two
+    groupBy-min shuffles on node keys; lineage is cut per round with
+    localCheckpoint (a checkpoint dir on a real cluster) so the plan does
+    not grow with iterations. Convergence = canonical edge-set (count,
+    xxhash64-sum) fixpoint — a content check, not a plan diff.
+    """
+    E = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                      F.col(b_col).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+         .distinct())
+
+    def _sig(e: DataFrame) -> tuple:
+        # decimal sum: exact and overflow-free under ANSI (long sum of
+        # 64-bit hashes overflows)
+        r = e.agg(F.count("*").alias("n"),
+                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+                  ).first()
+        return (r["n"], r["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input edges canonical (u > v); per u: m = min neighbor, link
+        # u and every other neighbor to m. Agg + join-back, never a
+        # collect_set: a hot node's neighborhood stays rows, not one array.
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        self_e = mins.select("u", F.col("m").alias("v"))
+        nbr_e = (e.join(mins, "u")
+                 .where(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        return self_e.unionAll(nbr_e).distinct()
+
+    E = E.localCheckpoint(eager=True)
+    sig = _sig(E)
+    for _ in range(max_iter):
+        E = small_star(large_star(E)).localCheckpoint(eager=True)
+        new_sig = _sig(E)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = E.select(F.col("v").alias("u"), F.col("v"))
+    return (E.unionAll(roots).distinct()
+            .select(F.col("u").alias("node"), F.col("v").alias("component")))
+
+
+def dedup_components(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", a_col: str = "a",
+                     b_col: str = "b") -> DataFrame:
+    """Docs + ``component`` (= min doc id of the near-dup cluster; own id
+    when unpaired) + ``is_keeper`` (the one row per cluster to keep). The
+    standard last stage of a dedup pipeline: any pairwise generator above
+    (minhash/simhash/jaccard/embedding) plugs in as ``pairs``."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (docs.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col(id_col).cast("long")))
+            .withColumn("is_keeper",
+                        F.col(id_col).cast("long") == F.col("component")))
+
+
+# ---------------------------------------------------------------------------
 # embedding similarity
 
 def _norm_expr(vec: F.Column) -> F.Column:
@@ -319,6 +403,87 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     q = queries.withColumn("bucket", bucket(F.col(q_vec)))
     j = e.join(q, "bucket")
     scored = j.withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), 6))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def _assign_centroid_udf(centroids: np.ndarray):
+    """Nearest-centroid id for array<float> vectors (cosine): Arrow-batched
+    numpy matmul against the (small, closure-broadcast) centroid matrix."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
+                      iters: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF codebook: seed with the ``n_centroids`` lowest-id
+    vectors, refine with ``iters`` Lloyd rounds. Each round is one
+    distributed assign (Arrow matmul) + one groupBy mean over posexploded
+    components — only the C×dim codebook (KBs) ever reaches the driver.
+    Deterministic end to end: seed choice is id-ordered and the mean is
+    order-independent, so re-fits reproduce bit-identical codebooks."""
+    seed_rows = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+                 .select(vec_col).collect())
+    centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assign = _assign_centroid_udf(centroids)
+        assigned = emb.select(F.col(vec_col).alias("v"),
+                              assign(F.col(vec_col)).alias("cid"))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("j", "x"))
+            .groupBy("cid", "j").agg(F.avg("x").alias("mu"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "mu"))).alias("mus"))
+            .select("cid", F.transform("mus", lambda s: s["mu"]).alias("mu"))
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            centroids[r["cid"]] = np.asarray(r["mu"], dtype=np.float64)
+    return centroids
+
+
+def ann_ivf_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id: str = "q_id", q_vec: str = "q_vec",
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: corpus partitioned into ``n_centroids`` Voronoi cells, each
+    query probes its ``n_probe`` nearest cells — the scan is |corpus|·p/C
+    instead of |corpus|. The equi-join on cell id is the only shuffle; the
+    codebook rides in UDF closures. Approximate (recall depends on
+    n_probe/C — measured vs the brute-force baseline in tests), same output
+    schema as ``ann_bruteforce_topk``/``ann_lsh_topk``."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(emb, dim, n_centroids, iters,
+                                      id_col, vec_col)
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    assign = _assign_centroid_udf(centroids)
+    e = emb.withColumn("cid", assign(F.col(vec_col)))
+
+    n_p = min(n_probe, len(c))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:  # pragma: no cover
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :n_p]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.withColumn("cid", F.explode(probe_cells(F.col(q_vec))))
+    scored = (e.join(q, "cid")
+              .withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), 6)))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -302,6 +302,44 @@ WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.9
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clustering: token-Jaccard pairs (≥ 0.5) over the dup
+    corpus → connected components (alternating large-star/small-star,
+    O(log n) rounds) → (node, component=min reachable id). The pairwise
+    near-dup relation is not transitive — A≈B≈C must collapse to ONE
+    group — so this is the stage that turns any pair generator into an
+    actual dedup decision. Oracle: DuckDB recursive CTE reachability."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    pairs = training.ngram_jaccard_pairs(corpus, k=1, jaccard_min=0.5)
+    return training.connected_components(pairs).select("node", "component")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_DUP_CORPUS_CTE.strip()},
+{_TOK_CTE.strip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM tok x JOIN tok y ON x.tok = y.tok
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) AS nn(u)
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (Manku multi-block blocking, exact for hamming ≤
     n_blocks−1 = 7 by pigeonhole). md5 hash family: token hash = first 16
@@ -912,6 +950,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH),
     "token_jaccard_pairs": (q_token_jaccard, SQL_TOKEN_JACCARD),
     "simhash_near_dups": (q_simhash_pairs, SQL_SIMHASH),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     # embedding similarity
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

@@ -131,6 +131,9 @@ class CrawlEngine:
         # approximate |hosts|, computed once per engine: gates the frontier
         # pop's narrow-vs-wide plan without a per-epoch distinct scan
         self._n_hosts_hint: int | None = None
+        # frontier row estimate (bookkept: -popped +discovered per epoch);
+        # lets the pop collapse its salt phase when it would be filterless
+        self._frontier_rows_est: int | None = None
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, frontier_df: DataFrame, url_seen_df: DataFrame | None = None) -> None:
@@ -222,9 +225,19 @@ class CrawlEngine:
                 store.save_buckets(self._filter, [int(b) for b in touched])
 
     # -- one epoch -----------------------------------------------------------
+    @staticmethod
+    def _trace(label: str, t_start: float) -> float:
+        """Per-step wall trace, gated on SPARK_GRAFT_EPOCH_TRACE (perf
+        forensics only — zero cost when unset)."""
+        now = time.time()
+        if os.environ.get("SPARK_GRAFT_EPOCH_TRACE"):
+            print(f"TRACE {label} {now - t_start:.2f}s", flush=True)
+        return now
+
     def run_epoch(self) -> EpochResult:
         spark = self.spark
         t0 = time.time()
+        tt = t0
         epoch = self.last_epoch() + 1
         self._recover(epoch)
         frontier_v = self.frontier_t.current_version()
@@ -234,12 +247,18 @@ class CrawlEngine:
 
         # 1. priority pop (skew-salted tree top-k)
         if self._n_hosts_hint is None:
-            self._n_hosts_hint = int(frontier.agg(
-                F.approx_count_distinct("host").alias("n")).first()["n"])
+            # one combined scan seeds both hints (first epoch only)
+            r = frontier.agg(
+                F.approx_count_distinct("host").alias("n"),
+                F.count("*").alias("rows")).first()
+            self._n_hosts_hint = int(r["n"])
+            self._frontier_rows_est = int(r["rows"])
         popped = frontier_ops.pop_top_k_per_host(
             frontier, self.top_k, salts=self.salts,
-            n_hosts_hint=self._n_hosts_hint).cache()
+            n_hosts_hint=self._n_hosts_hint,
+            n_rows_hint=self._frontier_rows_est).cache()
 
+        tt = self._trace("pop_build", tt)
         # 2. URL-seen membership (epoch-level: state table vs this batch)
         if self.use_bloom:
             filt = self._get_bloom(seen)
@@ -255,6 +274,7 @@ class CrawlEngine:
         else:
             fresh = dedup.exact_new_urls(popped, seen)
 
+        tt = self._trace("filter_get", tt)
         # re-rank after dedup: seen URLs must not consume politeness budget
         # (reference: Scrapy's dupefilter drops requests before the
         # scheduler, so the download budget only ever sees fresh URLs).
@@ -274,6 +294,7 @@ class CrawlEngine:
 
         # counters — one aggregation job per cached frame
         n_popped = popped.count()
+        tt = self._trace("count_popped", tt)
         by_polite = {r["polite_status"]: r["n"] for r in
                      polite.groupBy("polite_status").agg(F.count("*").alias("n")).collect()}
         n_fresh = sum(by_polite.values())
@@ -291,20 +312,24 @@ class CrawlEngine:
             )
             .collect()
         )
+        tt = self._trace("counters", tt)
         n_ok = int(sum(r["fetched"] for r in part_rows))
         n_denied = int(sum(r["robots_denied"] for r in part_rows))
 
         # 5. commits (dependency order; frontier last carries the epoch)
         self.fetched_t.append(fetched, meta={"epoch": epoch})
+        tt = self._trace("commit_fetched", tt)
 
         attempted = polite.where(F.col("polite_status") != "deferred")
         seen_upd = dedup.seen_updates(attempted, epoch)
         self.url_seen_t.append(seen_upd, meta={"epoch": epoch})
+        tt = self._trace("commit_url_seen", tt)
         if self.use_bloom:
             # Arrow path — Row-object collect() is ~10x slower driver-side
             self._bloom_add(
                 seen_upd.select("url_key").toPandas()["url_key"].to_numpy())
 
+        tt = self._trace("bloom_add", tt)
         # link discovery (S2 analog): fetched pages emit outlinks; brand-new
         # URLs join the frontier with an OPIC cash share as priority,
         # already-queued targets accumulate cash lazily (applied at
@@ -372,6 +397,7 @@ class CrawlEngine:
             },
             expected_version=expected_fv,
         )
+        tt = self._trace("frontier_delete", tt)
         if self.frontier_t.n_delete_deltas() >= self.compact_every:
             fv = self._compact_frontier(epoch)
 
@@ -386,9 +412,17 @@ class CrawlEngine:
             schemas.METRICS,
         )
         self.metrics_t.append(metrics, meta={"epoch": epoch})
+        tt = self._trace("metrics", tt)
 
         for df in (popped, polite, fetched):
             df.unpersist()
+
+        if self._frontier_rows_est is not None:
+            # upper-bound the discovery additions (fanout × ok pages):
+            # overestimating keeps the salt phase on — the safe direction
+            self._frontier_rows_est = max(
+                0, self._frontier_rows_est - (n_popped - n_deferred)
+                + self.discovery_fanout * n_ok)
 
         res = EpochResult(
             epoch=epoch, popped=n_popped, fetched_ok=n_ok, robots_denied=n_denied,

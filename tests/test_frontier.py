@@ -23,6 +23,18 @@ def test_salted_equals_unsalted(frontier_df):
     assert a == b
 
 
+def test_salt_collapse_hint_equals_salted(frontier_df):
+    """With a row hint showing phase 1 would be filterless (k·S·hosts ≥
+    rows), the pop collapses to the single-window plan (WindowGroupLimit
+    does the map-side tree top-k) — output identical either way."""
+    n = frontier_df.count()
+    collapsed = fr.pop_top_k_per_host(frontier_df, k=50, salts=16,
+                                      n_hosts_hint=20, n_rows_hint=n)
+    salted = fr.pop_top_k_per_host(frontier_df, k=50, salts=16,
+                                   n_hosts_hint=20, n_rows_hint=10 ** 9)
+    assert _popped_set(collapsed) == _popped_set(salted)
+
+
 def test_pop_respects_order(frontier_df):
     popped = fr.pop_top_k_per_host(frontier_df, k=3, salts=8)
     rows = popped.select("host", "priority", "discovered_ts", "url_key", "pop_rank").collect()

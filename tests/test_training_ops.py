@@ -175,6 +175,75 @@ def test_ann_lsh_recall(spark, embeddings_df):
     assert all((q, q) in ap for q in [r["q_id"] for r in queries.collect()])
 
 
+def test_connected_components_chain_and_islands(spark):
+    """The distinguishing case vs pairwise output: a CHAIN 1-2-3-...-8 (no
+    direct edge 1-8) must collapse to one component — min-label propagation
+    needs diameter rounds for this; the star algorithm gets it in O(log n).
+    Plus two islands and an untouched singleton via dedup_components."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    islands = [(100, 200), (300, 400), (400, 300), (300, 300)]
+    pairs = spark.createDataFrame(chain + islands, "a long, b long")
+    comp = {r["node"]: r["component"]
+            for r in training.connected_components(pairs).collect()}
+    assert all(comp[i] == 1 for i in range(1, 9))
+    assert comp[100] == comp[200] == 100
+    assert comp[300] == comp[400] == 300
+    assert 301 not in comp  # self-loops/dups don't invent nodes
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 5, 300, 999)],
+                                 "doc_id long, text string")
+    dd = {r["doc_id"]: (r["component"], r["is_keeper"])
+          for r in training.dedup_components(docs, pairs).collect()}
+    assert dd[1] == (1, True) and dd[5] == (1, False)
+    assert dd[300] == (300, True)
+    assert dd[999] == (999, True)  # unpaired doc keeps itself
+
+
+def test_connected_components_matches_networkx_style_oracle(spark):
+    """Random-ish deterministic graph vs a driver-side union-find oracle."""
+    rows = [(int(i), int((i * 7919 + 13) % 60)) for i in range(80)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in training.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_ann_ivf_recall(spark, embeddings_df):
+    emb = embeddings_df.limit(200).cache()
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"),
+                                  F.col("embedding").alias("q_vec"))
+    exact = training.ann_bruteforce_topk(emb, queries, k=3)
+    approx = training.ann_ivf_topk(emb, queries, dim=dim, k=3,
+                                   n_centroids=8, n_probe=4)
+    ex = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6  # probing half the cells
+    # a query's own cell is always probed first → self-neighbor guaranteed
+    assert all((q, q) in ap for q in [r["q_id"] for r in queries.collect()])
+    # deterministic codebook: a re-fit reproduces identical output
+    again = training.ann_ivf_topk(emb, queries, dim=dim, k=3,
+                                  n_centroids=8, n_probe=4)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_analyze_documents(documents_df):
     out = training.analyze_documents(documents_df.limit(200)).cache()
     rows = out.collect()
