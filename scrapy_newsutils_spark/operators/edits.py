@@ -59,10 +59,16 @@ def classify_edits(batch: DataFrame, existing: DataFrame,
         F.col(key),
         *[F.col(c).alias(f"b_{c}") for c in batch.columns if c != key],
     )
-    e = existing.select(
-        F.col(key),
-        *[F.col(c).alias(f"e_{c}") for c in existing.columns if c != key],
-    )
+    # a new_version insert leaves SEVERAL rows sharing the key; classify
+    # against the LATEST (max version, post_id tiebreak) or the join would
+    # fan each batch row out once per stored version. (The reference's
+    # find_one picks whichever row Mongo returns first — storage-order
+    # nondeterminism the engine replaces with a deterministic max.)
+    others = [c for c in existing.columns if c != key]
+    e = (existing.groupBy(key)
+         .agg(F.max_by(F.struct(*[F.col(c) for c in others]),
+                       F.struct(F.col("version"), F.col("post_id"))).alias("_e"))
+         .select(F.col(key), *[F.col(f"_e.{c}").alias(f"e_{c}") for c in others]))
     j = b.join(e, key, "left")
 
     status = (

@@ -160,6 +160,27 @@ class SnapshotTable:
                                      expected_version, m.get("deletes", []),
                                      m.get("part_dirs", {}))
 
+    def adopt_parquet_dir(self, src_dir: str, meta: dict | None = None,
+                          expected_version: int | None = None) -> int:
+        """Zero-copy bootstrap: hardlink an existing parquet directory's
+        data files into a fresh data dir and commit it as this table's
+        state. The cluster analog is Iceberg's add_files/register_table —
+        adopting externally-written files by manifest reference instead of
+        rewriting them. Requires same-filesystem src (hardlinks); falls
+        back to copies otherwise."""
+        d = f"data-{uuid.uuid4().hex[:12]}"
+        dst = os.path.join(self.path, d)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if not (name.endswith(".parquet") or name == "_SUCCESS"):
+                continue
+            sp_, dp_ = os.path.join(src_dir, name), os.path.join(dst, name)
+            try:
+                os.link(sp_, dp_)
+            except OSError:
+                shutil.copy2(sp_, dp_)
+        return self._commit_manifest([d], meta or {}, expected_version)
+
     def delete_by_keys(self, keys: DataFrame, key_cols: list[str],
                        meta: dict | None = None,
                        expected_version: int | None = None) -> int:

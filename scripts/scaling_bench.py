@@ -1,12 +1,19 @@
 """Scaling-efficiency evidence: the same crawl job at two parallelism levels
-(local[8] = N, local[32] = 4N — the sandbox stand-in for N vs 4N executors,
-per BASELINE.md's measurement protocol).
+(local[2] = N, local[8] = 4N — the sandbox stand-in for N vs 4N executors,
+per BENCH/BASELINE.md's measurement protocol).
 
 Each level runs in a FRESH subprocess (own JVM) so neither warmup nor cache
-leaks across measurements. Reports throughput at both levels and
-efficiency = (T_4N / T_N) / 4, target ≥ 0.8.
+leaks across measurements. The 30M-row fixture tables are generated ONCE
+(separate generator subprocess) and each child adopts them by hardlink
+(SnapshotTable.adopt_parquet_dir — the Iceberg add_files analog), so a
+repeat costs only warmup + timed epochs, not a fixture rebuild; more
+interleaved repeats per hour = better odds of sampling the host's quiet
+windows (see the noisy-host protocol note in BENCH/BASELINE.md).
 
-Usage: python scripts/scaling_bench.py [--rows 4000000] [--json out.json]
+Reports throughput at both levels and efficiency = (T_4N / T_N) / 4,
+target ≥ 0.8.
+
+Usage: python scripts/scaling_bench.py [--rows 30000000] [--json out.json]
 """
 
 from __future__ import annotations
@@ -14,8 +21,28 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
+
+GEN = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+from scrapy_newsutils_spark import fixtures
+from scrapy_newsutils_spark.session import get_spark
+rows = int(sys.argv[1]); out = sys.argv[2]
+spark = get_spark(app_name="scalegen", master="local[16]",
+                  shuffle_partitions=16,
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-local-gen"}})
+fr = fixtures.frontier_table(spark, n=rows, n_images=1500)
+fr.write.mode("overwrite").parquet(out + "/frontier")
+seen = fixtures.url_seen_table(spark, spark.read.parquet(out + "/frontier"))
+seen.write.mode("overwrite").parquet(out + "/url_seen")
+print("GEN_DONE", flush=True)
+"""
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
@@ -25,7 +52,8 @@ from scrapy_newsutils_spark import fixtures
 from scrapy_newsutils_spark.plans.epoch import CrawlEngine
 from scrapy_newsutils_spark.session import get_spark
 
-cpus = int(sys.argv[1]); rows = int(sys.argv[2]); epochs = int(sys.argv[3]); topk = int(sys.argv[4])
+cpus = int(sys.argv[1]); rows = int(sys.argv[2]); epochs = int(sys.argv[3])
+topk = int(sys.argv[4]); fixdir = sys.argv[5]
 # state + shuffle on tmpfs: the sandbox has ONE physical disk, so disk
 # bandwidth would be the (artificial) ceiling at higher thread counts; a
 # real cluster's aggregate disk/shuffle bandwidth grows with executors.
@@ -35,11 +63,12 @@ spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
                   extra_conf={{"spark.local.dir": f"/dev/shm/spark-local-{{cpus}}"}})
 root = tempfile.mkdtemp(prefix=f"scale{{cpus}}_", dir="/dev/shm")
 images = fixtures.images_table(spark, n=1500, small=True).cache(); images.count()
-frontier = fixtures.frontier_table(spark, n=rows, n_images=1500)
 eng = CrawlEngine(spark, root, images=images,
                   robots=fixtures.robots_table(spark), top_k=topk, salts=16)
-eng.bootstrap(frontier, fixtures.url_seen_table(spark, frontier))
-eng.run_epoch()  # warmup (JIT + codegen), untimed
+# zero-copy bootstrap: adopt the shared pre-generated state (hardlinks)
+eng.frontier_t.adopt_parquet_dir(fixdir + "/frontier", meta={{"epoch": 0}})
+eng.url_seen_t.adopt_parquet_dir(fixdir + "/url_seen", meta={{"epoch": 0}})
+eng.run_epoch()  # warmup (JIT + codegen + filter build), untimed
 t0 = time.time(); popped = fetched = 0
 for _ in range(epochs):
     r = eng.run_epoch(); popped += r.popped; fetched += r.fetched_ok
@@ -52,10 +81,12 @@ print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": round(wall, 2),
 """
 
 
-def run_level(repo: str, cpus: int, rows: int, epochs: int, topk: int) -> dict:
+def run_level(repo: str, cpus: int, rows: int, epochs: int, topk: int,
+              fixdir: str) -> dict:
     code = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(rows), str(epochs), str(topk)],
+        [sys.executable, "-c", code, str(cpus), str(rows), str(epochs),
+         str(topk), fixdir],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -66,14 +97,17 @@ def run_level(repo: str, cpus: int, rows: int, epochs: int, topk: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--rows", type=int, default=30_000_000)
+    ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--n", type=int, default=2,
                     help="N threads; 4N runs at n*4. Defaults keep both levels "
                          "within physical cores (SMT beyond ~8 threads caps the "
                          "hardware itself at ~0.79 efficiency on this box)")
-    ap.add_argument("--top-k", type=int, default=1000)
+    ap.add_argument("--top-k", type=int, default=20_000)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--fixdir", default=None,
+                    help="reuse an existing pre-generated fixture dir")
+    ap.add_argument("--keep-fixtures", action="store_true")
     ap.add_argument("--repeat", type=int, default=3,
                     help="interleaved repeats per level; the per-level MIN is "
                          "used (this host has noisy neighbors — min wall is "
@@ -81,10 +115,26 @@ def main() -> None:
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    fixdir = args.fixdir
+    made_fixtures = False
+    if fixdir is None or not os.path.isdir(os.path.join(fixdir, "frontier")):
+        fixdir = fixdir or tempfile.mkdtemp(prefix="scalefix_", dir="/dev/shm")
+        gen = subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=repo), str(args.rows), fixdir],
+            capture_output=True, text=True, timeout=1800)
+        if "GEN_DONE" not in gen.stdout:
+            raise RuntimeError(f"fixture gen failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-3000:]}")
+        made_fixtures = True
+    print(f"fixtures at {fixdir}", flush=True)
+
     lo_runs, hi_runs = [], []
-    for _ in range(args.repeat):
-        lo_runs.append(run_level(repo, args.n, args.rows, args.epochs, args.top_k))
-        hi_runs.append(run_level(repo, args.n * 4, args.rows, args.epochs, args.top_k))
+    for i in range(args.repeat):
+        lo_runs.append(run_level(repo, args.n, args.rows, args.epochs,
+                                 args.top_k, fixdir))
+        hi_runs.append(run_level(repo, args.n * 4, args.rows, args.epochs,
+                                 args.top_k, fixdir))
+        print(f"repeat {i + 1}/{args.repeat}: N={lo_runs[-1]['wall_sec']}s "
+              f"4N={hi_runs[-1]['wall_sec']}s", flush=True)
     lo = min(lo_runs, key=lambda r: r["wall_sec"])
     hi = min(hi_runs, key=lambda r: r["wall_sec"])
     eff_ops = (hi["ops_per_sec"] / lo["ops_per_sec"]) / 4
@@ -105,6 +155,8 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as f:
             json.dump(result, f, indent=2)
+    if made_fixtures and not args.keep_fixtures:
+        shutil.rmtree(fixdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,31 @@ def test_route_edits_versioning(spark, posts_df):
     assert new["version"] == 1 and new["post_id"] == 1005
 
 
+def test_classify_against_latest_version_only(spark, posts_df):
+    """After a new_version insert the table holds v1 AND v2 of a
+    short_link; the next edit must classify ONCE, against the latest
+    version (not fan out per stored row)."""
+    batch, existing = _edit_fixture(spark, posts_df)
+    # second edit round: table now holds v1 + v2 of /post/2
+    first = edits.route_edits(edits.classify_edits(batch, existing))
+    table2 = existing.unionByName(
+        first.where(F.col("short_link") == "/post/2").drop("edit_status"))
+    assert table2.where(F.col("short_link") == "/post/2").count() == 2
+    # 2a. resubmit the v2 text → pristine vs latest (would be new_version
+    #     vs v1 if matched against the older row)
+    again = batch.where(F.col("post_id") == 1002).withColumn(
+        "post_id", F.lit(2002).cast("long"))
+    got = edits.classify_edits(again, table2).collect()
+    assert len(got) == 1 and got[0]["edit_status"] == "pristine"
+    # 2b. a fresh edit → ONE new_version row, version = latest + 1 = 3
+    third = again.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" AGAIN")))
+    routed = edits.route_edits(edits.classify_edits(third, table2)).collect()
+    assert len(routed) == 1
+    assert routed[0]["edit_status"] == "new_version"
+    assert routed[0]["version"] == 3
+
+
 def test_route_then_upsert_roundtrip(spark, tmp_path, posts_df):
     """new_version inserts a second row for the same short_link; minor
     replaces in place — the reference's SaveToDb outcomes (pipelines.py:16-35)."""

@@ -152,3 +152,27 @@ def test_partitioned_merge_refuses_mixed_layout(spark, tmp_path):
     with pytest.raises(ValueError):
         t.merge_upsert_partitioned(spark, _pdf(spark, [(2, "d1", "b")]),
                                    key_cols=["k"], part_expr="day")
+
+
+def test_adopt_parquet_dir(spark, table, tmp_path):
+    """Zero-copy bootstrap (Iceberg add_files analog): an external parquet
+    dir becomes the table state by hardlink; subsequent commits (append,
+    MoR delete) compose normally on top."""
+    import os
+
+    src = str(tmp_path / "ext")
+    _df(spark, [(i, f"v{i}") for i in range(6)]).write.parquet(src)
+    v = table.adopt_parquet_dir(src, meta={"adopted": True})
+    assert v == 1
+    assert sorted(r["k"] for r in table.read(spark).collect()) == list(range(6))
+    # hardlinked, not copied (same inode on same fs)
+    data_dir = os.path.join(table.path, table.manifest()["dirs"][0])
+    src_files = {f: os.stat(os.path.join(src, f)).st_ino
+                 for f in os.listdir(src) if f.endswith(".parquet")}
+    dst_files = {f: os.stat(os.path.join(data_dir, f)).st_ino
+                 for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    assert src_files == dst_files and src_files
+    table.delete_by_keys(_df(spark, [(2, None)]), ["k"])
+    table.append(_df(spark, [(100, "x")]))
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == [0, 1, 3, 4, 5, 100]
