@@ -22,7 +22,7 @@ from scrapy_newsutils_spark.session import get_spark  # noqa: E402
 AUDIT_QUERIES = [
     "pricing_summary", "nation_revenue", "top_orders_per_cust",
     "frontier_pop_topk", "url_seen_antijoin", "minhash_band_pairs",
-    "embedding_topk", "text_quality", "daily_events",
+    "embedding_topk", "text_quality", "daily_events", "similarity_bands",
 ]
 
 
