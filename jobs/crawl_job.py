@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python jobs/crawl_job.py` runs (no --py-files): repo root on path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -30,6 +35,21 @@ def main() -> None:
                          "synthesized when omitted)")
     ap.add_argument("--synthetic-frontier-rows", type=int, default=0,
                     help="sandbox only: synthesize a frontier of this size")
+    ap.add_argument("--filter-kind", default="bloom",
+                    choices=["bloom", "cuckoo"],
+                    help="URL-seen sidecar: bloom, or the deletable cuckoo "
+                         "(recrawl TTL forgets keys in place)")
+    ap.add_argument("--filter-probe", default="broadcast",
+                    choices=["broadcast", "store"],
+                    help="'store' probes per-bucket filter files after a "
+                         "pmod(url_key,P) repartition — bounded executor "
+                         "memory at 10^10 seen keys")
+    ap.add_argument("--discovery-fanout", type=int, default=0,
+                    help=">0: fetched pages emit this many outlinks "
+                         "(synthetic S2 stand-in)")
+    ap.add_argument("--expire-seen-epochs", type=int, default=0,
+                    help=">0: recrawl TTL — forget url_seen rows older "
+                         "than this many epochs after the run")
     ap.add_argument("--master", default=None,
                     help="override master (sandbox local[N]); omit under "
                          "spark-submit on a cluster")
@@ -50,7 +70,10 @@ def main() -> None:
 
     eng = CrawlEngine(spark, args.state_root, images=images, robots=robots,
                       top_k=args.top_k, salts=args.salts,
-                      epoch_budget_ms=args.epoch_budget_ms)
+                      epoch_budget_ms=args.epoch_budget_ms,
+                      filter_kind=args.filter_kind,
+                      filter_probe=args.filter_probe,
+                      discovery_fanout=args.discovery_fanout)
 
     if eng.last_epoch() == 0:
         if args.synthetic_frontier_rows:
@@ -74,6 +97,10 @@ def main() -> None:
             "dedup_dropped": res.dedup_dropped, "deferred": res.deferred,
             "wall_s": round(res.wall_s, 2),
         }), flush=True)
+
+    if args.expire_seen_epochs > 0:
+        n = eng.expire_seen(args.expire_seen_epochs)
+        print(json.dumps({"ttl_expired": n}), flush=True)
 
 
 if __name__ == "__main__":
