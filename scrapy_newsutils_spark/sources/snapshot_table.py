@@ -112,6 +112,28 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, d))
         return d
 
+    def _write_partitioned(self, df: DataFrame, part_expr) -> tuple[str, dict]:
+        """Write ``df`` hive-partitioned on ``part_expr`` in ONE Spark job;
+        returns (data_dir, {pv_key: relative subdir}). Spark's
+        ``partitionBy`` drops the partition column from the files, so the
+        subdirs read back with the plain table schema."""
+        from urllib.parse import unquote
+
+        if isinstance(part_expr, str):
+            part_expr = F.col(part_expr)
+        d = f"data-{uuid.uuid4().hex[:12]}"
+        dst = os.path.join(self.path, d)
+        df.withColumn("_pv", part_expr.cast("string")) \
+            .write.mode("overwrite").partitionBy("_pv").parquet(dst)
+        touched: dict[str, str] = {}
+        for sub in os.listdir(dst):
+            if not sub.startswith("_pv="):
+                continue
+            raw = unquote(sub[len("_pv="):])
+            pv_key = "NULL" if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            touched[pv_key] = f"{d}/{sub}"
+        return d, touched
+
     def _commit_manifest(self, dirs: list[str], meta: dict,
                          expected_version: int | None,
                          deletes: list[dict] | None = None,
@@ -151,11 +173,32 @@ class SnapshotTable:
         return self._commit_manifest([d], meta or {}, expected_version)
 
     def append(self, df: DataFrame, meta: dict | None = None,
-               expected_version: int | None = None) -> int:
+               expected_version: int | None = None, part_expr=None) -> int:
         """Fast append: keep previous data dirs, add one (merge-on-read
-        flavour — right for high-churn append-mostly tables like metrics)."""
-        d = self._write_data(df)
+        flavour — right for high-churn append-mostly tables like metrics).
+
+        On a PARTITIONED table (non-empty ``part_dirs``) the new rows must
+        land inside partition dirs or the next ``merge_upsert_partitioned``
+        would refuse the non-empty base: pass ``part_expr`` (same expression
+        the merges use) and the append writes one ``_pv=...`` dir per touched
+        value; omitting it raises instead of silently bricking later merges
+        (the round-2 latent contract bug)."""
         m = self.manifest()
+        if m.get("part_dirs"):
+            if part_expr is None:
+                raise ValueError(
+                    "append to a partitioned table requires part_expr= (the "
+                    "same partition expression merge_upsert_partitioned uses)"
+                )
+            d, touched = self._write_partitioned(
+                df.select([f.name for f in self.schema.fields]), part_expr)
+            part_dirs = dict(m["part_dirs"])
+            for pv_key, sub in touched.items():
+                part_dirs[pv_key] = part_dirs.get(pv_key, []) + [sub]
+            return self._commit_manifest(m["dirs"], meta or {},
+                                         expected_version,
+                                         m.get("deletes", []), part_dirs)
+        d = self._write_data(df)
         return self._commit_manifest(m["dirs"] + [d], meta or {},
                                      expected_version, m.get("deletes", []),
                                      m.get("part_dirs", {}))
@@ -167,7 +210,16 @@ class SnapshotTable:
         state. The cluster analog is Iceberg's add_files/register_table —
         adopting externally-written files by manifest reference instead of
         rewriting them. Requires same-filesystem src (hardlinks); falls
-        back to copies otherwise."""
+        back to copies otherwise.
+
+        Bootstrap-only: committing [d] as the WHOLE table state would
+        silently discard existing data dirs / deletes / partition layout,
+        so adopting into a non-empty table refuses."""
+        if self.current_version() != 0:
+            raise ValueError(
+                "adopt_parquet_dir is a bootstrap-only operation; table "
+                f"{self.path} is at version {self.current_version()} — "
+                "use append()/merge_upsert*() instead")
         d = f"data-{uuid.uuid4().hex[:12]}"
         dst = os.path.join(self.path, d)
         os.makedirs(dst, exist_ok=True)
@@ -242,6 +294,7 @@ class SnapshotTable:
         part_expr,
         meta: dict | None = None,
         expected_version: int | None = None,
+        update_cols: list[str] | None = None,
     ) -> int:
         """Partition-scoped MERGE: rewrite ONLY the partitions the batch
         touches — Iceberg CoW MERGE with partition pruning, the fix for the
@@ -256,6 +309,21 @@ class SnapshotTable:
         written exclusively through this method (plus append/delete, which
         preserve partition dirs); mixing with ``overwrite``/``merge_upsert``
         resets it to unpartitioned.
+
+        All touched partitions are merged and written in ONE Spark job via a
+        ``partitionBy`` write (the round-2 version launched one job per
+        touched value — O(days) job-scheduling latency on a backfill).
+
+        ``update_cols``: the reference's ``Day.save(only=[...])`` parity
+        (/root/reference/src/newsutils/crawl/day.py:115-135) — when set, a
+        MATCHED row takes only these columns from the batch and keeps every
+        other column from the existing row; NOT-MATCHED rows insert whole.
+        The NLP verbs use this to write just siblings/related/summary
+        without clobbering a concurrent writer's columns.
+
+        If the table carries merge-on-read delete deltas, delta keys that
+        collide with the batch are dropped (one consolidating rewrite) — a
+        re-upserted key must be visible again, not anti-joined away at read.
         """
         if isinstance(part_expr, str):
             part_expr = F.col(part_expr)
@@ -274,25 +342,61 @@ class SnapshotTable:
                     "merge_upsert_partitioned")
             m = {**m, "dirs": []}
         part_dirs = dict(m.get("part_dirs", {}))
-        batch = batch.select([f.name for f in self.schema.fields]) \
-            .withColumn("_pv", part_expr.cast("string"))
+        cols = [f.name for f in self.schema.fields]
+        batch = batch.select(cols).withColumn("_pv", part_expr.cast("string"))
         pvals = [r["_pv"] for r in batch.select("_pv").distinct().collect()]
-        for pv in pvals:
-            pv_key = "NULL" if pv is None else str(pv)
-            b = (batch.where(F.col("_pv").isNull() if pv is None
-                             else (F.col("_pv") == pv))
-                 .drop("_pv").dropDuplicates(key_cols))
-            old = part_dirs.get(pv_key, [])
-            if old:
-                existing = spark.read.schema(self.schema).parquet(
-                    *[os.path.join(self.path, d) for d in old])
-                keep = existing.join(b.select(*key_cols), key_cols, "left_anti")
-                merged = keep.unionByName(b)
+        pv_keys = {("NULL" if pv is None else str(pv)) for pv in pvals}
+        batch = batch.drop("_pv").dropDuplicates(key_cols)
+
+        old = [d for pvk in pv_keys for d in part_dirs.get(pvk, [])]
+        if old:
+            # existing rows of the touched partitions only; their partition
+            # value is recomputed from part_expr (deterministic per row), so
+            # one union read suffices — no per-partition jobs
+            existing = spark.read.schema(self.schema).parquet(
+                *[os.path.join(self.path, d) for d in old])
+            if update_cols:
+                non_key_update = [c for c in update_cols if c not in key_cols]
+                b_upd = batch.select(
+                    *key_cols,
+                    *[F.col(c).alias(f"_u_{c}") for c in non_key_update],
+                    F.lit(True).alias("_matched"))
+                upd = existing.join(b_upd, key_cols, "left")
+                merged_existing = upd.select(*[
+                    (F.when(F.col("_matched"), F.col(f"_u_{c}"))
+                     .otherwise(F.col(c)).alias(c)
+                     if c in non_key_update else F.col(c))
+                    for c in cols])
+                inserts = batch.join(existing.select(*key_cols),
+                                     key_cols, "left_anti")
+                merged = merged_existing.unionByName(inserts)
             else:
-                merged = b
-            part_dirs[pv_key] = [self._write_data(merged)]
+                keep = existing.join(batch.select(*key_cols),
+                                     key_cols, "left_anti")
+                merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        _, touched = self._write_partitioned(merged, part_expr)
+        # a touched partition may legitimately vanish (all its rows merged
+        # into other values is impossible — part_expr is row-deterministic —
+        # but an existing dir read can only re-emit its own value), so the
+        # new layout is: touched values point at their fresh dir, everything
+        # else keeps its old dirs untouched
+        for pv_key, sub in touched.items():
+            part_dirs[pv_key] = [sub]
+        deletes = m.get("deletes", [])
+        if deletes:
+            kcols = deletes[0]["keys"]
+            live = spark.read.parquet(
+                *[os.path.join(self.path, e["dir"]) for e in deletes]) \
+                .join(batch.select(*kcols).dropDuplicates(kcols),
+                      kcols, "left_anti")
+            if live.limit(1).count() == 0:
+                deletes = []
+            else:
+                deletes = [{"dir": self._write_data(live), "keys": kcols}]
         return self._commit_manifest([], meta or {}, expected_version,
-                                     m.get("deletes", []), part_dirs)
+                                     deletes, part_dirs)
 
     def partition_layout(self) -> dict[str, list[str]]:
         """Current partition-value → data-dirs mapping (test/inspection)."""
@@ -331,8 +435,11 @@ class SnapshotTable:
                             for d in pd)
             except FileNotFoundError:
                 pass
+        # partition dirs are referenced as "data-x/_pv=y" — keep the whole
+        # top-level dir if ANY of its subdirs is live
+        live_top = {p.split("/", 1)[0] for p in live}
         for entry in os.listdir(self.path):
-            if entry.startswith("data-") and entry not in live:
+            if entry.startswith("data-") and entry not in live_top:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
     # -- convenience ----------------------------------------------------------

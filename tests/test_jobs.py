@@ -100,3 +100,35 @@ def test_nlp_day_job(spark, posts_table):
     day2 = posts_table.read(spark).where(
         F.to_date("publish_time") == DAY0.isoformat())
     assert day2.count() == day_rows.count()
+
+
+def test_concurrent_column_survives_save_similarity(spark, posts_table, monkeypatch):
+    """Day.save(only=[...]) parity end-to-end: a concurrent writer updates a
+    column AFTER save_similarity's day read but BEFORE its merge. The verb
+    merges with update_cols=[siblings, related], so the concurrent column
+    survives (the round-2 whole-row merge silently clobbered it)."""
+    batch = fixtures.posts_batch(spark)
+    dates = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    posts_pipeline.process_crawl_batch(spark, batch, posts_table, dates)
+    victim = posts_table.read(spark).where(
+        F.to_date("publish_time") == DAY0.isoformat()).select("post_id") \
+        .limit(1).collect()[0]["post_id"]
+
+    orig = nlp_job._merge_day
+
+    def interleaved(spark_, table, rows, update_cols=None):
+        # the concurrent writer lands between the verb's read and its merge
+        one = table.read(spark_).where(F.col("post_id") == victim) \
+            .withColumn("tags", F.array(F.lit("CONCURRENT")))
+        table.merge_upsert_partitioned(
+            spark_, one, key_cols=["post_id"],
+            part_expr=F.to_date("publish_time"), update_cols=["tags"])
+        monkeypatch.setattr(nlp_job, "_merge_day", orig)  # fire once
+        orig(spark_, table, rows, update_cols=update_cols)
+
+    monkeypatch.setattr(nlp_job, "_merge_day", interleaved)
+    n = nlp_job.save_similarity(spark, posts_table, DAY0)
+    assert n > 0
+    row = posts_table.read(spark).where(F.col("post_id") == victim).collect()[0]
+    assert row["tags"] == ["CONCURRENT"]      # concurrent write survived
+    assert row["siblings"] is not None        # and the verb's column landed

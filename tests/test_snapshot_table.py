@@ -136,14 +136,92 @@ def test_partitioned_merge_null_partition(spark, tmp_path):
         spark, _pdf(spark, [(1, None, "X")]), key_cols=["k"], part_expr="day")
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, "X"), (2, "y")}
-    # a later append leaves partition dirs visible (read = union), but the
-    # table then refuses further partition-scoped merges (mixed layout
-    # would silently skip base-dir rows of touched partitions)
-    t.append(_pdf(spark, [(9, "d9", "z")]))
-    assert t.read(spark).count() == 3
+
+
+def test_append_to_partitioned_routes_into_partition_dirs(spark, tmp_path):
+    """Round-2 latent contract bug: append() committed into the
+    unpartitioned base dirs, which merge_upsert_partitioned refuses — the
+    first append bricked every later day merge. Appends now land inside
+    partition dirs (given the part_expr) and later merges compose."""
+    t = SnapshotTable(str(tmp_path / "pt4"), PSCHEMA)
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "a")]), key_cols=["k"], part_expr="day")
+    # without part_expr the append refuses loudly instead of bricking
     with pytest.raises(ValueError):
-        t.merge_upsert_partitioned(spark, _pdf(spark, [(3, "d1", "w")]),
+        t.append(_pdf(spark, [(9, "d9", "z")]))
+    t.append(_pdf(spark, [(9, "d9", "z"), (8, "d1", "h")]), part_expr="day")
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == \
+        {(1, "a"), (9, "z"), (8, "h")}
+    assert set(t.partition_layout()) == {"d1", "d9"}
+    # the appended rows participate in later partition-scoped merges
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(8, "d1", "H"), (3, "d2", "c")]),
+        key_cols=["k"], part_expr="day")
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (9, "z"), (8, "H"), (3, "c")}
+
+
+def test_partitioned_merge_update_cols_subset(spark, tmp_path):
+    """Day.save(only=[...]) parity: a matched row takes ONLY update_cols
+    from the batch; its other columns survive (a concurrent writer's column
+    is not clobbered). Unmatched rows insert whole."""
+    t = SnapshotTable(str(tmp_path / "pt5"), PSCHEMA)
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "orig"), (2, "d1", "keepme")]),
+        key_cols=["k"], part_expr="day")
+    # batch matches k=1 with a different v, but v is NOT in update_cols
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "CLOBBER"), (3, "d1", "new")]),
+        key_cols=["k"], part_expr="day", update_cols=["day"])
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    # k=1 kept its v (batch's CLOBBER ignored: v not in update_cols);
+    # k=3 inserted whole
+    assert got == {(1, "orig"), (2, "keepme"), (3, "new")}
+
+
+def test_partitioned_merge_single_job_for_many_days(spark, tmp_path):
+    """A backfill touching 50 days must run O(1) Spark jobs, not one write
+    job per day (round-2 looped per partition value)."""
+    t = SnapshotTable(str(tmp_path / "pt6"), PSCHEMA)
+    rows = [(i, f"d{i % 50:02d}", f"v{i}") for i in range(500)]
+    sc = spark.sparkContext
+    sc.setJobGroup("merge50", "bulk partitioned merge")
+    try:
+        t.merge_upsert_partitioned(spark, _pdf(spark, rows),
                                    key_cols=["k"], part_expr="day")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("merge50")
+    assert len(jobs) <= 6, f"expected O(1) jobs, ran {len(jobs)}"
+    assert len(t.partition_layout()) == 50
+    assert t.read(spark).count() == 500
+
+
+def test_partitioned_merge_revives_deleted_keys(spark, tmp_path):
+    """A key re-upserted after an MoR equality delete must be visible again
+    (delete deltas are reconciled against the batch, not carried forward)."""
+    t = SnapshotTable(str(tmp_path / "pt7"), PSCHEMA)
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "a"), (2, "d1", "b")]),
+        key_cols=["k"], part_expr="day")
+    t.delete_by_keys(_pdf(spark, [(1, "d1", "a")]), ["k"])
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
+    t.merge_upsert_partitioned(
+        spark, _pdf(spark, [(1, "d1", "REBORN")]),
+        key_cols=["k"], part_expr="day")
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "REBORN"), (2, "b")}
+    assert t.n_delete_deltas() == 0  # fully reconciled away
+
+
+def test_adopt_refuses_non_empty_table(spark, table, tmp_path):
+    """adopt_parquet_dir is bootstrap-only: adopting into a live table would
+    silently discard its dirs/deletes/partition layout."""
+    src = str(tmp_path / "ext2")
+    _df(spark, [(1, "a")]).write.parquet(src)
+    table.overwrite(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError):
+        table.adopt_parquet_dir(src)
 
 
 def test_partitioned_merge_refuses_mixed_layout(spark, tmp_path):
