@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -532,13 +533,24 @@ class FilterStore:
 
     def save_bucket_raw(self, bv: int, kind: str, f) -> None:
         """Persist one bucket's filter object (also called executor-side by
-        ``build_partitioned(store_path=...)`` so filter bytes never transit
-        the driver)."""
+        ``build_partitioned(store_path=...)`` and ``store_apply_keys`` so
+        filter bytes never transit the driver). tmp+rename so a crash
+        mid-write never leaves a torn bucket file."""
+        path = self._bucket_path(bv)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}.npz"
         if kind == "cuckoo":
-            np.savez(self._bucket_path(bv), kind=np.array(1), table=f.table)
+            np.savez(tmp, kind=np.array(1), table=f.table)
         else:
-            np.savez(self._bucket_path(bv), kind=np.array(0),
-                     bits=f.bits, k=np.array(f.k))
+            np.savez(tmp, kind=np.array(0), bits=f.bits, k=np.array(f.k))
+        # np.savez appends .npz when missing; our tmp already ends in it
+        os.replace(tmp, path)
+
+    def clear(self) -> None:
+        """Drop all bucket files + meta (before a rebuild with a new bucket
+        layout — stale files of an old P would otherwise be probed)."""
+        for name in os.listdir(self.path):
+            if name.endswith(".npz") or name == "filter_meta.json":
+                os.remove(os.path.join(self.path, name))
 
     def save_meta(self, pf: PartitionedFilter) -> None:
         with open(self._meta_path(), "w") as fh:
@@ -618,6 +630,94 @@ def split_by_filter_store(spark: SparkSession, batch: DataFrame,
     tagged = routed.mapInPandas(gen, out_schema)
     return (tagged.where(~F.col("_maybe")).drop("_maybe"),
             tagged.where(F.col("_maybe")).drop("_maybe"))
+
+
+def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
+                     store_path: str, key: str = "url_key",
+                     mode: str = "add") -> dict:
+    """Apply incremental inserts (or cuckoo deletes) to a FilterStore
+    ENTIRELY executor-side: the batch is repartitioned on ``pmod(key, P)``
+    so each task owns whole buckets, loads each bucket's file once, mutates
+    it with numpy, and writes it back atomically. The driver sees only
+    per-bucket counters — never a key (the round-2 epoch loop pulled every
+    epoch's new keys through ``toPandas`` and re-saved buckets driver-side).
+
+    Returns ``{"per_bucket": {bv: n}, "failed": int}`` — ``failed`` > 0
+    (cuckoo bucket full) means the store now misses seen keys and the owner
+    must rebuild before the next probe. Bucket counts are folded into the
+    store's meta file so ``overfilled`` stays observable across epochs.
+    """
+    store = FilterStore(store_path)
+    meta = store.meta()
+    P, knd = int(meta["buckets"]), meta["kind"]
+    s_path, m_mode = store_path, mode
+
+    out_schema = T.StructType([
+        T.StructField("bv", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("failed", T.LongType()),
+    ])
+
+    def gen(batches):
+        import pyarrow as pa
+
+        chunks: dict[int, list[np.ndarray]] = {}
+        for rb in batches:
+            ks = rb.column(0).to_numpy(zero_copy_only=False)
+            bs = rb.column(1).to_numpy(zero_copy_only=False)
+            order = np.argsort(bs, kind="stable")
+            ks_s, bs_s = ks[order], bs[order]
+            uniq, starts = np.unique(bs_s, return_index=True)
+            bounds = np.append(starts, len(bs_s))
+            for i, bv in enumerate(uniq):
+                sl = ks_s[bounds[i]:bounds[i + 1]].astype(np.int64, copy=True)
+                chunks.setdefault(int(bv), []).append(sl)
+        st = FilterStore(s_path)
+        for bv, parts in chunks.items():
+            arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            f = FilterStore.load_bucket(s_path, bv)
+            failed = 0
+            if m_mode == "delete":
+                if isinstance(f, PyCuckoo):
+                    f.delete_many(arr)
+                    st.save_bucket_raw(bv, "cuckoo", f)
+                # Bloom buckets can't delete — owner rebuilds instead
+            else:
+                if f is None:
+                    f = (PyCuckoo(max(len(arr) * 2, 65_536))
+                         if knd == "cuckoo"
+                         else PyBloom(max(len(arr) * 2, 65_536)))
+                if isinstance(f, PyCuckoo):
+                    failed = f.add_many(arr)
+                else:
+                    # loaded Bloom bits may be read-only (np.load mmap) —
+                    # bitwise_or.at needs a writable buffer
+                    if not f.bits.flags.writeable:
+                        f.bits = f.bits.copy()
+                    f.add_many(arr)
+                st.save_bucket_raw(bv, knd, f)
+            yield pa.RecordBatch.from_pydict(
+                {"bv": [bv], "n": [len(arr)], "failed": [failed]},
+                schema=pa.schema([pa.field("bv", pa.int32()),
+                                  pa.field("n", pa.int64()),
+                                  pa.field("failed", pa.int64())]))
+
+    routed = keys_df.select(
+        F.col(key).cast("long").alias("k"),
+        F.pmod(F.col(key), F.lit(P)).cast("int").alias("b"),
+    ).repartition(min(P, 256), "b")
+    rows = routed.mapInArrow(gen, out_schema).collect()
+    per_bucket = {int(r["bv"]): int(r["n"]) for r in rows}
+    failed = sum(int(r["failed"]) for r in rows)
+    # fold counters into the meta file (tiny JSON — no keys)
+    sign = -1 if mode == "delete" else 1
+    ins = {int(b): n for b, n in meta.get("inserted", {}).items()}
+    for bv, n in per_bucket.items():
+        ins[bv] = max(0, ins.get(bv, 0) + sign * n)
+    meta["inserted"] = {str(b): n for b, n in ins.items()}
+    with open(os.path.join(store_path, "filter_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {"per_bucket": per_bucket, "failed": failed}
 
 
 def split_by_filter(spark: SparkSession, batch: DataFrame, filt,

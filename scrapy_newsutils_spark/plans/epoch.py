@@ -202,27 +202,56 @@ class CrawlEngine:
         n_seen = seen.count()
         # headroom for ~8 epochs of inserts without a rebuild
         expected = max(n_seen * 2, n_seen + 8 * self.top_k * 210, 1024)
-        self._filter = dedup.build_partitioned(
-            seen, kind=self.filter_kind, expected=expected,
-            cap_per_bucket=self.filter_cap_per_bucket,
-        )
-        if self.filter_probe == "store" and self._filter is not None:
-            dedup.FilterStore(self._filter_store_dir()).save(self._filter)
+        if self.filter_probe == "store":
+            # executor-owned filter: builder tasks write bucket files
+            # straight into the store and the driver keeps only metadata —
+            # no filter bytes and no keys ever reach the driver (10^10 path)
+            store = dedup.FilterStore(self._filter_store_dir())
+            store.clear()  # stale buckets of an old layout must not probe
+            self._filter = dedup.build_partitioned(
+                seen, kind=self.filter_kind, expected=expected,
+                cap_per_bucket=self.filter_cap_per_bucket,
+                store_path=self._filter_store_dir(),
+                collect_to_driver=False,
+            )
+        else:
+            self._filter = dedup.build_partitioned(
+                seen, kind=self.filter_kind, expected=expected,
+                cap_per_bucket=self.filter_cap_per_bucket,
+            )
         return self._filter
 
-    def _bloom_add(self, keys) -> None:
-        if self._filter is not None and len(keys):
-            import numpy as np
+    def _bloom_add_df(self, keys_df: DataFrame) -> None:
+        """Extend the URL-seen filter with an epoch's new keys.
 
-            keys = np.asarray(keys, dtype=np.int64)
-            failed = self._filter.add_many(keys)
-            if failed:  # cuckoo bucket full — rebuild before the next probe
+        store mode: executor-side — each task merges its own buckets' files
+        (dedup.store_apply_keys); the driver folds back only per-bucket
+        counters, zero key materialization. broadcast mode: the small-scale
+        convenience path — keys come to the driver (Arrow) and the
+        in-memory filter is extended + re-broadcast next probe."""
+        if self._filter is None:
+            return
+        if self.filter_probe == "store":
+            res = dedup.store_apply_keys(
+                self.spark, keys_df.select("url_key"),
+                self._filter_store_dir())
+            if res["failed"]:  # cuckoo bucket full — rebuild before probing
                 self._filter = None
-            elif self.filter_probe == "store":
-                # persist only the buckets this epoch touched
-                store = dedup.FilterStore(self._filter_store_dir())
-                touched = np.unique(keys % self._filter.buckets)
-                store.save_buckets(self._filter, [int(b) for b in touched])
+                return
+            for bv, n in res["per_bucket"].items():
+                self._filter.inserted[bv] = \
+                    self._filter.inserted.get(bv, 0) + n
+            return
+        # Arrow path — Row-object collect() is ~10x slower driver-side
+        import numpy as np
+
+        keys = keys_df.select("url_key").toPandas()["url_key"] \
+            .to_numpy(dtype=np.int64)
+        if not len(keys):
+            return
+        failed = self._filter.add_many(keys)
+        if failed:  # cuckoo bucket full — rebuild before the next probe
+            self._filter = None
 
     # -- one epoch -----------------------------------------------------------
     @staticmethod
@@ -325,9 +354,7 @@ class CrawlEngine:
         self.url_seen_t.append(seen_upd, meta={"epoch": epoch})
         tt = self._trace("commit_url_seen", tt)
         if self.use_bloom:
-            # Arrow path — Row-object collect() is ~10x slower driver-side
-            self._bloom_add(
-                seen_upd.select("url_key").toPandas()["url_key"].to_numpy())
+            self._bloom_add_df(seen_upd)
 
         tt = self._trace("bloom_add", tt)
         # link discovery (S2 analog): fetched pages emit outlinks; brand-new
@@ -476,15 +503,21 @@ class CrawlEngine:
             ["url_key", "first_seen_epoch"],
             meta={"epoch": cur, "ttl_expired": n})
         if self.filter_kind == "cuckoo" and self._filter is not None:
-            import numpy as np
-
-            keys = expired.select("url_key").toPandas()["url_key"] \
-                .to_numpy(dtype=np.int64)
-            self._filter.delete_many(keys)
             if self.filter_probe == "store":
-                store = dedup.FilterStore(self._filter_store_dir())
-                touched = np.unique(keys % self._filter.buckets)
-                store.save_buckets(self._filter, [int(b) for b in touched])
+                # executor-side in-place deletes on the bucket files —
+                # expired keys never reach the driver
+                res = dedup.store_apply_keys(
+                    spark, expired.select("url_key"),
+                    self._filter_store_dir(), mode="delete")
+                for bv, d in res["per_bucket"].items():
+                    self._filter.inserted[bv] = max(
+                        0, self._filter.inserted.get(bv, 0) - d)
+            else:
+                import numpy as np
+
+                keys = expired.select("url_key").toPandas()["url_key"] \
+                    .to_numpy(dtype=np.int64)
+                self._filter.delete_many(keys)
         else:
             self._filter = None  # Bloom can't delete: rebuild lazily
         return n

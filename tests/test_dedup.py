@@ -190,3 +190,32 @@ def test_cuckoo_from_keys_doubles_until_fit():
     # deliberately undersized expectation: builder must double, not drop
     cf = dedup._cuckoo_from_keys(keys, expected=64)
     assert bool(cf.contains_many(keys).all())
+
+
+def test_store_apply_keys_executor_side(spark, tmp_path, url_seen_df):
+    """Incremental store inserts/deletes run executor-side: after
+    store_apply_keys the store probe sees the new keys, counters land in
+    meta, and (cuckoo) deletes forget them in place."""
+    from pyspark.sql import functions as F
+
+    sp = str(tmp_path / "filters")
+    pf = dedup.build_partitioned(url_seen_df, kind="cuckoo",
+                                 cap_per_bucket=max(url_seen_df.count() // 3, 8),
+                                 store_path=sp, collect_to_driver=False)
+    assert pf.buckets > 1
+    extra = spark.range(1_000_000, 1_000_400).select(
+        F.xxhash64("id").alias("url_key"))
+    res = dedup.store_apply_keys(spark, extra, sp)
+    assert res["failed"] == 0 and sum(res["per_bucket"].values()) == 400
+    # probe via store: all inserted keys are maybe-seen now
+    _, maybe = dedup.split_by_filter_store(spark, extra, sp)
+    assert maybe.count() == 400
+    # meta counters grew
+    meta = dedup.FilterStore(sp).meta()
+    assert sum(int(n) for n in meta["inserted"].values()) == \
+        url_seen_df.count() + 400
+    # executor-side delete (cuckoo): keys forgotten in place
+    res_d = dedup.store_apply_keys(spark, extra, sp, mode="delete")
+    assert sum(res_d["per_bucket"].values()) == 400
+    new_after, maybe_after = dedup.split_by_filter_store(spark, extra, sp)
+    assert new_after.count() == 400 and maybe_after.count() == 0

@@ -90,3 +90,27 @@ def test_metapost_link_factory_pluggable(spark):
         link_factory=lambda vh: F.concat(F.lit("app://meta?v="), vh),
     ).first()
     assert row["link"].startswith("app://meta?v=")
+
+
+def test_store_mode_zero_driver_key_materialization(spark, tmp_path, frontier_df,
+                                                    images_df, robots_df,
+                                                    url_seen_df, monkeypatch):
+    """filter_probe='store': the whole epoch loop — filter build, probe,
+    incremental insert — must never pull keys to the driver. Spy: any
+    toPandas() during run_epoch fails the test (the round-2 loop pulled each
+    epoch's new keys through toPandas to extend the driver-held filter)."""
+    from pyspark.sql import DataFrame
+
+    eng = CrawlEngine(spark, str(tmp_path / "nodriver"), images=images_df,
+                      robots=robots_df, top_k=4, salts=4,
+                      filter_probe="store", filter_cap_per_bucket=300)
+    eng.bootstrap(frontier_df, url_seen_df)
+
+    def banned(self, *a, **k):
+        raise AssertionError("driver-side toPandas during store-mode epoch")
+
+    monkeypatch.setattr(DataFrame, "toPandas", banned)
+    res = eng.run(2)
+    assert res[0].popped > 0 and res[0].fetched_ok > 0
+    # the driver holds only metadata — no filter bytes
+    assert eng._filter is not None and eng._filter.filters == {}
