@@ -295,10 +295,14 @@ def sport_events_table(spark: SparkSession, n: int = 500) -> DataFrame:
 
     df = conf.with_defaults(
         spark.createDataFrame(pd.DataFrame(rows)), schemas.SPORT_EVENTS)
-    # deterministic id from the compound key (reference C8)
+    # deterministic id from the compound key (reference C8) — same
+    # unit-separator join as ezines.event_pk (collision-proof concat)
+    from .operators.ezines import KEY_SEP
+
     return df.withColumn(
         "event_pk",
-        F.xxhash64(F.concat_ws("", "idLeague", "idHomeTeam", "idAwayTeam", "idEvent")),
+        F.xxhash64(F.concat_ws(KEY_SEP, "idLeague", "idHomeTeam",
+                               "idAwayTeam", "idEvent")),
     )
 
 

@@ -21,19 +21,33 @@ from pyspark.sql import functions as F
 COMPOUND_KEY = ("idLeague", "idHomeTeam", "idAwayTeam", "idEvent")
 
 
+# unit separator: keys like ('12','T3') and ('1','2T3') must not
+# concatenate identically — a pk collision would silently last-write-wins-
+# merge two different events in the 45-field upsert sink
+KEY_SEP = "\u001f"
+
+
 def event_pk(df: DataFrame) -> DataFrame:
     """C8: deterministic 64-bit id from the 4-part compound key."""
-    return df.withColumn("event_pk", F.xxhash64(F.concat_ws("", *COMPOUND_KEY)))
+    return df.withColumn("event_pk",
+                         F.xxhash64(F.concat_ws(KEY_SEP, *COMPOUND_KEY)))
 
 
 def dedupe_latest(df: DataFrame, order_col: str = "dateEvent") -> DataFrame:
     """Batch-internal upsert semantics: for duplicate compound keys the last
     write wins (the reference replays update_one per row in fetch order; a
-    set-wise batch keeps the max-order row per key)."""
+    set-wise batch keeps the max-order row per key).
+
+    The comparator is a TOTAL order — (order_col, every other column sorted
+    by name) — so two replays with an equal ``order_col`` pick a stable
+    winner on any partitioning/replay (a bare max_by(dateEvent) left the
+    tie to partition order)."""
+    others = sorted(c for c in df.columns if c not in ("event_pk", order_col))
+    ordk = F.struct(F.col(order_col), *[F.col(c) for c in others])
     return (
         df.groupBy("event_pk")
         .agg(F.max_by(F.struct([c for c in df.columns if c != "event_pk"]),
-                      F.col(order_col)).alias("_r"))
+                      ordk).alias("_r"))
         .select("event_pk", "_r.*")
     )
 
@@ -105,23 +119,30 @@ def run_schedules_job(spark, table, sports: DataFrame, leagues: DataFrame,
     robots = spark.createDataFrame(
         [(API_HOST, 60_000, [], 1)], schemas.ROBOTS)
     plan = season_plan(sports, leagues, season)
-    done: list[str] = []
+    # the plan is a tiny dim (|sports|x|leagues|): materialize it ONCE and
+    # track the undrained remainder as a driver list — the round-2 loop
+    # grew a literal isin(done) predicate and re-counted the plan every
+    # epoch, O(n^2) plan size/work for large fan-outs at 1 fetch/epoch
+    plan_rows = plan.collect()
+    remaining_rows = plan_rows
     counts: list[int] = []
     for _ in range(max_epochs):
-        remaining = plan.where(~F.col("endpoint").isin(done)) if done else plan
+        if not remaining_rows:
+            break
+        remaining = spark.createDataFrame(remaining_rows, plan.schema)
         w = Window.partitionBy("host").orderBy("sport_id", "league_id")
         ranked = remaining.withColumn("pop_rank", F.row_number().over(w))
         polite = politeness.with_politeness(ranked, robots, epoch_budget_ms)
         take = polite.where(F.col("polite_status") == "ok")
-        taken_rows = take.collect()  # tiny dim: |sports|x|leagues| plan rows
+        taken_rows = take.collect()  # tiny: at most the epoch's admissions
         if not taken_rows:
             break
         batch = season_events(api, take, season)
         table.merge_upsert_partitioned(
             spark, batch, key_cols=["event_pk"],
             part_expr=F.lower(F.col("strSport")))
-        done += [r["endpoint"] for r in taken_rows]
+        taken_eps = {r["endpoint"] for r in taken_rows}
+        remaining_rows = [r for r in remaining_rows
+                          if r["endpoint"] not in taken_eps]
         counts.append(len(taken_rows))
-        if len(done) >= plan.count():
-            break
     return counts

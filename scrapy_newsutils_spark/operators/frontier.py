@@ -35,6 +35,16 @@ NARROW_POP_MAX_K = 256
 # 16-byte winner rows ≈ 32 MB serialized ≈ a few hundred MB relation — the
 # practical ceiling for a comfortable broadcast on 4-8 GB executors
 NARROW_POP_MAX_WINNERS = 2_000_000
+# below this many frontier rows the full-width shuffle is trivially cheap
+# and the narrow plan's winner-broadcast join-back is pure overhead
+# (measured at 5k rows / k=3: wide 0.19 s vs narrow 0.27 s)
+NARROW_POP_MIN_ROWS = 10_000_000
+# collapse the salt phase unless it filters rows-per-host by at least this
+# factor: phase 1's payoff is a smaller per-host reduce input, but it costs
+# a SECOND full shuffle — at rows/host ≤ 32·k·S the single-window
+# WindowGroupLimit plan wins (measured at 250 rows/host, k=3, S=4:
+# salted 0.28 s vs single-window 0.19 s)
+SALT_COLLAPSE_FACTOR = 32
 
 
 def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
@@ -78,14 +88,20 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
     """
     if narrow is None:
         narrow = k <= NARROW_POP_MAX_K
+        if narrow and n_rows_hint is not None \
+                and int(n_rows_hint) <= NARROW_POP_MIN_ROWS:
+            narrow = False  # small frontier: wide shuffle beats join-back
         if narrow:
             if n_hosts_hint is None:
                 n_hosts_hint = frontier.agg(
                     F.approx_count_distinct("host").alias("n")).first()["n"]
             narrow = k * max(int(n_hosts_hint), 1) <= NARROW_POP_MAX_WINNERS
     if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None
-            and k * salts * max(int(n_hosts_hint), 1) >= int(n_rows_hint)):
-        salts = 1  # phase 1 would keep every row: let WindowGroupLimit work
+            and SALT_COLLAPSE_FACTOR * k * salts
+            >= int(n_rows_hint) / max(int(n_hosts_hint), 1)):
+        # phase 1 wouldn't filter enough to pay for its extra shuffle:
+        # let the single-window WindowGroupLimit tree top-k do the work
+        salts = 1
     if narrow:
         base = frontier.select("url_key", "host", "priority", "discovered_ts")
     else:

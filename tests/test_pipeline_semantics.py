@@ -240,3 +240,30 @@ def test_ezine_schedules_job_is_idempotent(spark, tmp_path):
     n1 = table.read(spark).count()
     ezines.run_schedules_job(spark, table, sports, leagues, api, "2024-2025")
     assert table.read(spark).count() == n1
+
+
+def test_event_pk_separator_no_collision(spark):
+    """('12','T3') vs ('1','2T3') style compound keys must not collide: the
+    key parts are joined with a unit separator, not raw-concatenated."""
+    rows = [("12", "T3", "A", "E"), ("1", "2T3", "A", "E")]
+    df = spark.createDataFrame(rows, "idLeague string, idHomeTeam string, "
+                                     "idAwayTeam string, idEvent string")
+    pks = [r["event_pk"] for r in ezines.event_pk(df).collect()]
+    assert pks[0] != pks[1]
+
+
+def test_dedupe_latest_tiebreak_deterministic(spark):
+    """Two replays of a key with EQUAL dateEvent must pick a stable winner
+    (total-order comparator) — not whichever partition arrives last."""
+    import datetime as dt
+    d = dt.date(2024, 8, 1)
+    rows = [("L", "H", "A", "E", "2024-08-01T10:00:00", d),
+            ("L", "H", "A", "E", "2024-08-01T12:00:00", d)]
+    schema = ("idLeague string, idHomeTeam string, idAwayTeam string, "
+              "idEvent string, strTimestamp string, dateEvent date")
+    for attempt in range(3):
+        df = spark.createDataFrame(rows if attempt % 2 == 0 else rows[::-1],
+                                   schema).repartition(4)
+        got = ezines.dedupe_latest(ezines.event_pk(df)).collect()
+        assert len(got) == 1
+        assert got[0]["strTimestamp"] == "2024-08-01T12:00:00"
