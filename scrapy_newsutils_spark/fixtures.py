@@ -351,3 +351,39 @@ def ezine_api_table(spark: SparkSession,
                                if f.name != "event_pk"])
     return conf.with_defaults(spark.createDataFrame(pd.DataFrame(rows)),
                               api_schema)
+
+
+def html_pages_from_docs(docs: DataFrame, m: int,
+                         source_url: str = "https://news.example.com") -> DataFrame:
+    """Deterministic synthetic HTML pages (url, html) from a ``documents``
+    frame — the S2/S3 composition input. Pure Column expressions (no
+    per-row Python): page N carries title 'Doc N', the doc's text in a
+    ``story`` section, two typed article links + one nav link, one body
+    image, an og:image, an author meta, and an article:published_time on a
+    5-day cycle — every fact the parse stage extracts is a closed-form
+    function of doc_id, so a SQL oracle can reconstruct the composition's
+    output without parsing (driver query ``crawl_compose_stats``)."""
+    i = F.col("doc_id")
+    pub = F.format_string("2024-03-%02dT08:00:00",
+                          (i % 5 + 1).cast("int"))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.format_string("Doc %d", i),
+        F.lit("</title><meta property=\"article:published_time\" content=\""),
+        pub, F.lit("\"/>"),
+        F.format_string(
+            "<meta property=\"og:image\" content=\"%s/og/%d.png\"/>",
+            F.lit(source_url), i),
+        F.format_string("<meta name=\"author\" content=\"Author %d\"/>",
+                        (i % 7).cast("int")),
+        F.lit("</head><body><div class=\"story\"><p>"), F.col("text"),
+        F.lit("</p>"),
+        F.format_string("<a href=\"/post/%d\">next</a>", (i + 1) % m),
+        F.format_string("<a href=\"/post/%d\">rel</a>", (i * 3 + 1) % m),
+        F.lit("</div><nav><a href=\"/about\">about</a></nav>"),
+        F.format_string("<img src=\"/img/%d.png\"/>", i),
+        F.lit("</body></html>"),
+    )
+    return docs.where(i < m).select(
+        F.format_string(f"{source_url}/post/%d", i).alias("url"),
+        html.alias("html"),
+    )

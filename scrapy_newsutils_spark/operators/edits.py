@@ -88,11 +88,17 @@ def classify_edits(batch: DataFrame, existing: DataFrame,
     )
 
 
-def route_edits(classified: DataFrame) -> DataFrame:
+def route_edits(classified: DataFrame, key: str = "short_link") -> DataFrame:
     """Resolve classification into sink-ready rows (pristine rows dropped):
 
     - new: as-is, version 1;
-    - new_version: version = existing + 1, keeps its own new post_id;
+    - new_version: version = existing + 1, with a VERSION-QUALIFIED post_id
+      ``xxhash64(key, version)`` — the parse stage derives post_id from the
+      URL alone, so without qualification a v2 row would collide with (and
+      silently replace) v1 in the post_id-keyed MERGE instead of coexisting
+      as a new version (the reference inserts a fresh ObjectId per version,
+      pipelines.py:128-136). Deterministic, so an edited-batch replay is
+      still idempotent (classified pristine against the latest version);
     - minor: adopts existing post_id + version (update-in-place).
 
     The result upserts with ``merge_upsert(key_cols=["post_id"])`` — minor
@@ -110,6 +116,8 @@ def route_edits(classified: DataFrame) -> DataFrame:
         .withColumn(
             "post_id",
             F.when(F.col("edit_status") == "minor", F.col("existing_post_id"))
+            .when(F.col("edit_status") == "new_version",
+                  F.xxhash64(F.col(key), F.col("version")))
             .otherwise(F.col("post_id")),
         )
         .drop("existing_post_id", "existing_version")

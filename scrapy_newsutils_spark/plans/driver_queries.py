@@ -219,6 +219,75 @@ def q_edit_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "edit_status")
 
 
+def q_crawl_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-level invariant over the WHOLE crawl pipeline (S2/S3 →
+    mk_post → F1 → F2 → J2 routing), all through the shipped operators:
+    synthetic HTML pages built as closed-form functions of doc_id
+    (fixtures.html_pages_from_docs), parsed with the real mapInPandas
+    parser, post-ified, validity/date-filtered, classified against a
+    deterministic 'previous crawl' (doc_id%7==0 text edit → new_version;
+    %7==3 top_image change → minor; rest pristine), routed, and aggregated
+    per publish day. The SQL oracle reconstructs every aggregate straight
+    from documents — it agrees only if every stage (HTML generation, parse
+    extraction, post presets, filters, classification, version routing)
+    round-trips exactly."""
+    from .. import fixtures
+    from ..operators import edits, pipeline
+    from ..sources import parse as parse_ops
+
+    m = 400
+    src = "https://news.example.com"
+    pages = fixtures.html_pages_from_docs(_docs(spark, sf_dir), m, src)
+    parsed = parse_ops.parse_pages(pages, post_sections={"default": "story"})
+    posts = parse_ops.posts_from_parsed(parsed, src).cache()
+
+    sl_id = F.regexp_extract("short_link", r"(\d+)", 1).cast("long")
+    existing = (
+        posts.withColumn(
+            "text", F.when(sl_id % 7 == 0,
+                           F.concat(F.col("text"), F.lit(" OLDVERSION")))
+            .otherwise(F.col("text")))
+        .withColumn(
+            "top_image", F.when(sl_id % 7 == 3,
+                                F.lit("https://old.example.com/prev.png"))
+            .otherwise(F.col("top_image"))))
+
+    dates = pipeline.parse_dates("2024-03-01", "2024-03-05")
+    batch = pipeline.filter_date(pipeline.filter_valid(posts), dates)
+    routed = edits.route_edits(edits.classify_edits(batch, existing))
+    return (
+        routed.groupBy(F.to_date("publish_time").alias("day"))
+        .agg(
+            F.count("*").alias("n_posts"),
+            F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+            .alias("n_v2"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_words"),
+            F.countDistinct("top_image").alias("n_top_images"),
+            F.sum(F.size("images")).alias("n_images"),
+            F.sum(F.size("authors")).alias("n_authors"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CRAWL_COMPOSE = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(DATE '2024-03-01' + CAST(doc_id % 5 AS INT) AS DATE) AS day,
+         doc_id % 7 AS m, text
+  FROM documents WHERE doc_id < 400 AND doc_id % 7 IN (0, 3)
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_posts,
+       CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_top_images,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(*) AS BIGINT) AS n_authors
+FROM r GROUP BY day ORDER BY day
+"""
+
+
 SQL_EDIT_CLASSIFY = """
 WITH batch AS (
   SELECT CASE WHEN doc_id % 7 = 4 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
@@ -952,6 +1021,7 @@ QUERIES: dict[str, tuple] = {
     "url_seen_antijoin": (q_url_seen_antijoin, SQL_URL_SEEN),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS),
     "edit_classify": (q_edit_classify, SQL_EDIT_CLASSIFY),
+    "crawl_compose_stats": (q_crawl_compose, SQL_CRAWL_COMPOSE),
     # dedup family
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH),

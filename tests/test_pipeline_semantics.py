@@ -93,7 +93,11 @@ def test_route_edits_versioning(spark, posts_df):
     # pristine + nlp-only rows dropped
     assert len(rows) == 3
     major = rows["/post/2"]
-    assert major["version"] == 2 and major["post_id"] == 1002  # new row kept own id
+    # v2 gets a VERSION-QUALIFIED deterministic id — the batch id derives
+    # from the URL, so keeping it would collide with v1 in the post_id MERGE
+    expected_v2_id = spark.range(1).select(
+        F.xxhash64(F.lit("/post/2"), F.lit(2)).alias("h")).first()["h"]
+    assert major["version"] == 2 and major["post_id"] == expected_v2_id
     minor = rows["/post/3"]
     assert minor["version"] == 1 and minor["post_id"] == 3     # adopted identity
     new = rows["/post/brand-new"]
