@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted for ops DuckDB
-    cannot replicate, e.g. xxhash64-based simhash → rows-only check)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Every registered query
+    currently ships one (simhash included — oracled via an md5 hash family
+    since round 2); the ``is not None`` guard stays for future genuinely
+    non-SQL-expressible ops."""
     return {name: sql for name, (_, sql) in DQ.QUERIES.items() if sql is not None}

@@ -190,24 +190,83 @@ def _looks_like_logo(src: str, attrs: dict, anchor_href: str | None,
     return False
 
 
+try:  # lxml is optional in this container; the XPath path activates if present
+    from lxml import etree as _lxml_etree
+except ImportError:  # pragma: no cover - environment-dependent
+    _lxml_etree = None
+
+
+def xpath_links(html: str, base_url: str,
+                restrict_xpaths: dict[str, str]) -> list[dict] | None:
+    """Reference-fidelity link typing: per-post-type XPath restriction
+    (``LinkExtractor(restrict_xpaths=...)``,
+    /root/reference/src/newsutils/crawl/spiders.py:44-58). Requires lxml;
+    returns None when it is unavailable so the caller falls back to the
+    section-class approximation. Later-listed types do not steal a URL
+    already claimed by an earlier type (first match wins, like the
+    reference's per-type rule order); untyped links keep type ''."""
+    if _lxml_etree is None:
+        return None
+    try:
+        root = _lxml_etree.HTML(html or "")
+    except Exception:
+        root = None
+    if root is None:
+        return None
+    typed: dict[str, str] = {}
+    order: list[str] = []
+    for post_type, xp in restrict_xpaths.items():
+        try:
+            regions = root.xpath(xp)
+        except Exception:
+            regions = []
+        for region in regions:
+            for a in region.iter("a"):
+                href = a.get("href")
+                if not href:
+                    continue
+                u = urljoin(base_url, href)
+                if u not in typed:
+                    typed[u] = post_type
+                    order.append(u)
+    for a in root.iter("a"):
+        href = a.get("href")
+        if href:
+            u = urljoin(base_url, href)
+            if u not in typed:
+                typed[u] = ""
+                order.append(u)
+    return [{"url": u, "link_type": typed[u]} for u in order]
+
+
 def parse_page(html: str, base_url: str,
-               post_sections: dict[str, str] | None = None) -> dict:
+               post_sections: dict[str, str] | None = None,
+               restrict_xpaths: dict[str, str] | None = None) -> dict:
     """Parse one fetched page → article facts + typed outlinks.
 
     ``post_sections``: post_type → section-class (the post_texts XPath map
     re-expressed as class selectors); links found under a matching section
-    get that type, others type ''."""
+    get that type, others type ''.
+
+    ``restrict_xpaths``: post_type → real XPath (the reference's
+    ``restrict_xpaths`` config verbatim). Honored when lxml is importable;
+    otherwise the section-class approximation above applies — deployments
+    with XPath configs install lxml, the sandbox falls back."""
     p = _Extractor(base_url)
     try:
         p.feed(html or "")
     except Exception:
         pass
     facts = p.out
-    sec_to_type = {v: k for k, v in (post_sections or {}).items()}
-    outlinks = [
-        {"url": u, "link_type": sec_to_type.get(sec, "")}
-        for u, sec in facts.links
-    ]
+    outlinks = None
+    if restrict_xpaths:
+        outlinks = xpath_links(html, base_url, restrict_xpaths)
+    if outlinks is None:
+        sec_to_type = {v: k for k, v in (post_sections or {}).items()}
+        outlinks = [
+            {"url": u, "link_type": sec_to_type.get(sec, "")}
+            for u, sec in facts.links
+        ]
     title = facts.meta.get("og:title", facts.title)
     text = " ".join(facts.text_parts)
     keywords, excerpt = _nlp_keywords_excerpt(title, text)
@@ -297,15 +356,19 @@ def posts_from_parsed(parsed: DataFrame, source_url,
 
 
 def parse_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html",
-                post_sections: dict[str, str] | None = None) -> DataFrame:
+                post_sections: dict[str, str] | None = None,
+                restrict_xpaths: dict[str, str] | None = None) -> DataFrame:
     """mapInPandas article-parse stage: (url, html) → PARSED_SCHEMA rows.
-    The S2 frontier-growth path is ``explode(outlinks)`` downstream."""
+    The S2 frontier-growth path is ``explode(outlinks)`` downstream.
+    ``restrict_xpaths`` (real XPath configs) is honored when lxml is
+    available on the executors; ``post_sections`` is the fallback."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                d = parse_page(r[html_col], r[url_col], post_sections)
+                d = parse_page(r[html_col], r[url_col], post_sections,
+                               restrict_xpaths=restrict_xpaths)
                 d["url"] = r[url_col]
                 out.append(d)
             yield pd.DataFrame(out, columns=[f.name for f in PARSED_SCHEMA.fields])

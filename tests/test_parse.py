@@ -3,6 +3,8 @@ article facts, logo heuristic — stdlib parser, deterministic."""
 
 from __future__ import annotations
 
+import pytest
+
 from scrapy_newsutils_spark.sources.parse import parse_page, parse_pages
 
 HTML = """
@@ -140,3 +142,41 @@ def test_posts_from_parsed_carries_nlp_fields(spark):
     assert r["version"] == 1 and r["is_scrap"] is True and r["is_draft"] is True
     assert r["type"] == "featured" and r["country"] == "FR"
     assert r["link_hash"].startswith(__import__("hashlib").md5(b"/p/1").hexdigest()[:8])
+
+
+def test_restrict_xpaths_typed_links():
+    """Reference restrict_xpaths fidelity (spiders.py:44-58): real XPath
+    configs type the links when lxml is available; otherwise the section
+    fallback keeps working (exercised by every other parse test)."""
+    pytest.importorskip("lxml")
+    from scrapy_newsutils_spark.sources.parse import parse_page
+
+    html = """<html><body>
+      <div id="featured"><a href="/f/1">f1</a></div>
+      <div class="story"><a href="/s/1">s1</a><a href="/s/2">s2</a></div>
+      <nav><a href="/about">about</a></nav>
+    </body></html>"""
+    d = parse_page(html, "https://x.example.com",
+                   restrict_xpaths={"featured": '//div[@id="featured"]//a/..',
+                                    "default": '//div[@class="story"]'})
+    types = {o["url"].rsplit("/", 2)[-2] + "/" + o["url"].rsplit("/", 1)[-1]:
+             o["link_type"] for o in d["outlinks"]}
+    assert types["f/1"] == "featured"
+    assert types["s/1"] == "default" and types["s/2"] == "default"
+    assert types["x.example.com/about"] == ""
+
+
+def test_restrict_xpaths_falls_back_without_lxml(monkeypatch):
+    """With lxml absent the XPath request degrades to the section-class
+    approximation instead of crashing (container limitation path)."""
+    from scrapy_newsutils_spark.sources import parse as P
+
+    monkeypatch.setattr(P, "_lxml_etree", None)
+    html = ('<div class="story"><a href="/s/1">s1</a></div>'
+            '<nav><a href="/about">x</a></nav>')
+    d = P.parse_page(html, "https://x.example.com",
+                     post_sections={"default": "story"},
+                     restrict_xpaths={"default": '//div[@class="story"]'})
+    got = {o["url"]: o["link_type"] for o in d["outlinks"]}
+    assert got["https://x.example.com/s/1"] == "default"
+    assert got["https://x.example.com/about"] == ""
