@@ -104,3 +104,123 @@ def with_defaults(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Settings machinery: env -> project -> defaults layering (the reference's
+# AppSettings, /root/reference/src/newsutils/appsettings.py:17-38,57-250 —
+# capitalized defaults, a nested config under a config key, env overrides,
+# required settings that must be explicit, and computed settings derived
+# from the configurable ones, conf/posts.py:40-64).
+
+class ImproperlyConfigured(ValueError):
+    """A required setting has no default and was not defined explicitly."""
+
+
+class AppSettings:
+    """Layered settings: ``env > project > defaults``.
+
+    - ``defaults``: the app's config dict; a ``None`` value marks the
+      setting REQUIRED (reference: 'a value of None signifies a required
+      setting', conf/posts.py:71-73).
+    - ``project``: deployment overrides (the reference patches the
+      project's Scrapy/Django settings module; the engine takes a plain
+      dict — no module injection, a Spark job has no global settings
+      module to patch).
+    - env: ``{prefix}{KEY}`` variables win over everything; values are
+      JSON-decoded when possible ('42' -> 42, '["a"]' -> list) so typed
+      settings survive the env round trip.
+    """
+
+    def __init__(self, defaults: dict, config_key: str = "POSTS",
+                 project: dict | None = None,
+                 required: tuple[str, ...] = (),
+                 env_prefix: str = "NEWSUTILS_",
+                 env: dict | None = None):
+        import os as _os
+
+        self.config_key = config_key
+        self.defaults = dict(defaults)
+        self.project = dict(project or {})
+        self.required = tuple(required) + tuple(
+            k for k, v in self.defaults.items() if v is None)
+        self.env_prefix = env_prefix
+        self._env = _os.environ if env is None else env
+
+    def __getitem__(self, key: str):
+        import json as _json
+
+        raw = self._env.get(f"{self.env_prefix}{key}")
+        if raw is not None:
+            try:
+                return _json.loads(raw)
+            except (ValueError, TypeError):
+                return raw
+        if key in self.project:
+            return self.project[key]
+        val = self.defaults.get(key)
+        if val is None and key in self.required:
+            raise ImproperlyConfigured(
+                f'required `{self.config_key}["{key}"]` has no default; '
+                "define it in the project dict or "
+                f"{self.env_prefix}{key}")
+        if key not in self.defaults and key not in self.project:
+            raise KeyError(key)
+        return val
+
+    def get(self, key: str, default=None):
+        try:
+            return self[key]
+        except (KeyError, ImproperlyConfigured):
+            return default
+
+    def as_dict(self) -> dict:
+        return {k: self[k] for k in self.defaults}
+
+
+# the engine's Posts defaults — reference conf/posts.py:95-160 keys that map
+# onto engine operators (Mongo/Scrapy plumbing keys have no engine meaning)
+POSTS_DEFAULTS = {
+    "DB_ID_FIELD": "post_id",
+    "ITEM_ID_FIELD": "short_link",
+    "CATEGORY_FIELD": "category",
+    "CAPTION_FIELD": "caption",
+    "SUMMARY_FIELD": "summary",
+    "SIBLINGS_FIELD": "siblings",
+    "RELATED_FIELD": "related",
+    "EDITS_NEW_VERSION_FIELDS": ["text", "title"],
+    "SIMILARITY_SIBLINGS_THRESHOLD": 0.4,
+    "SIMILARITY_RELATED_THRESHOLD": 0.2,
+    "SIMILARITY_MAX_DOCS": 2,
+    "IMAGE_MIN_WIDTH": 300,
+    "IMAGE_MIN_HEIGHT": 200,
+    "IMAGE_BRISQUE_MAX_SCORE": 50.0,
+    "EPOCH_BUDGET_MS": 60_000,
+    "AUTO_PUBLISH": True,
+}
+
+
+def posts_settings(project: dict | None = None,
+                   env: dict | None = None) -> AppSettings:
+    return AppSettings(POSTS_DEFAULTS, "POSTS", project=project, env=env)
+
+
+# -- computed settings (reference conf/posts.py:40-64: nlp_fields /
+#    computed_fields / edits_excluded_fields derive from the *_FIELD names)
+
+def settings_field_names(s: AppSettings) -> dict[str, str]:
+    """The role→name map the NLP jobs take (resolve_field_names input)."""
+    return {role: s[f"{role.upper()}_FIELD"] for role in COMPUTED_FIELD_ROLES}
+
+
+def settings_nlp_fields(s: AppSettings) -> list[str]:
+    return list(settings_field_names(s).values()) + ["tags", "keywords",
+                                                     "excerpt"]
+
+
+def settings_edits_excluded_fields(s: AppSettings) -> set[str]:
+    """edits_excluded_fields = version + ids + all nlp_fields (the
+    reference's computed exclusion, conf/posts.py:59-64 — tags/keywords/
+    excerpt included) plus the engine's link_hash/created_ts row metadata."""
+    return {"version", s["DB_ID_FIELD"], s["ITEM_ID_FIELD"], "link_hash",
+            "created_ts", *settings_nlp_fields(s)}

@@ -65,8 +65,14 @@ def process_crawl_batch(
     posts_table: SnapshotTable,
     dates: list[dt.date],
     image_meta: DataFrame | None = None,
+    settings=None,
 ) -> BatchStats:
-    """One crawl batch through F1 → F2 → J2 → F4/F5 → K1, single MERGE."""
+    """One crawl batch through F1 → F2 → J2 → F4/F5 → K1, single MERGE.
+
+    ``settings``: optional ``conf.AppSettings`` (the reference's layered
+    Posts config) — drives the edit classification's computed
+    ``edits_excluded_fields`` / ``edits_new_version_fields`` instead of the
+    module constants."""
     n_in = batch.count()
 
     valid = pipeline.filter_valid(batch)
@@ -76,7 +82,16 @@ def process_crawl_batch(
     n_dated = dated.count()
 
     existing = posts_table.read(spark)
-    classified = edits.classify_edits(dated, existing).cache()
+    if settings is not None:
+        from .. import conf
+
+        classified = edits.classify_edits(
+            dated, existing,
+            new_version_fields=tuple(settings["EDITS_NEW_VERSION_FIELDS"]),
+            excluded_fields=conf.settings_edits_excluded_fields(settings),
+        ).cache()
+    else:
+        classified = edits.classify_edits(dated, existing).cache()
     by_status = {r["edit_status"]: r["n"] for r in
                  classified.groupBy("edit_status").agg(F.count("*").alias("n")).collect()}
     routed = edits.route_edits(classified)

@@ -95,6 +95,82 @@ def seed_frontier(sources: DataFrame, epoch: int = 0) -> DataFrame:
     )
 
 
+def scan_source_metadata(sources: DataFrame, homepages: DataFrame,
+                         post_sections: dict[str, str] | None = None) -> DataFrame:
+    """``newspaper.build`` analog (S1's second half —
+    /root/reference/src/newsutils/crawl/spiders.py:211-215 ``self.source =
+    build(start_urls[0])``, :229-233 ``source.articles``): parse each
+    source's homepage once at init and harvest its brand metadata + the
+    recent-article link list.
+
+    ``homepages``: (name, url, html) — one fetched homepage per source.
+    Returns one row per source: name, scanned brand (og:site_name, else
+    <title>), description (og/meta description), logo (3-case heuristic)
+    and ``recent_links`` (the page's article-typed outlinks; all links
+    when no section typing is configured)."""
+    from .parse import parse_pages
+
+    parsed = parse_pages(homepages, post_sections=post_sections)
+    typed = F.filter("outlinks", lambda o: o["link_type"] != "")
+    links = F.when(F.size(typed) > 0, typed).otherwise(F.col("outlinks"))
+    meta = parsed.select(
+        "url",
+        F.coalesce("site_name", "title").alias("scan_brand"),
+        F.col("description").alias("scan_description"),
+        F.col("logo").alias("scan_logo_url"),
+        F.transform(links, lambda o: o["url"]).alias("recent_links"),
+    )
+    return (
+        sources.select("name", F.element_at("start_urls", 1).alias("url"))
+        .join(meta, "url", "left")
+        .drop("url")
+    )
+
+
+def enrich_papers(sources: DataFrame, scanned: DataFrame) -> DataFrame:
+    """Fill MISSING paper fields from the homepage scan — the reference's
+    ``get_paper`` builds Paper(brand=source.brand, ...,
+    logo_url=source.logo_url or parse_logo(response))
+    (crawl/spiders.py:217-227): configured values win, the scan is the
+    fallback."""
+    return (
+        sources.join(F.broadcast(scanned), "name", "left")
+        .withColumn("paper_brand", F.coalesce("paper_brand", "scan_brand"))
+        .withColumn("paper_description",
+                    F.coalesce("paper_description", "scan_description"))
+        .withColumn("paper_logo_url",
+                    F.coalesce("paper_logo_url", "scan_logo_url"))
+        .drop("scan_brand", "scan_description", "scan_logo_url",
+              "recent_links")
+    )
+
+
+def seed_frontier_with_recent(sources: DataFrame, scanned: DataFrame,
+                              epoch: int = 0) -> DataFrame:
+    """S1 full parity: seeds = start_urls (priority 1.0, depth 0) PLUS each
+    source's recent-article list from the homepage scan (priority 0.9,
+    depth 1 — newspaper.build's article list enters the frontier behind the
+    seeds but ahead of organically-discovered URLs)."""
+    from ..functions import urls as U
+
+    seeds = seed_frontier(sources, epoch)
+    recent = (
+        scanned.select(F.explode("recent_links").alias("url"))
+        .join(seeds.select("url"), "url", "left_anti")
+        .dropDuplicates(["url"])
+    )
+    recent_rows = (
+        U.with_url_identity(recent)
+        .withColumn("priority", F.lit(0.9))
+        .withColumn("depth", F.lit(1))
+        .withColumn("discovered_ts", F.current_timestamp())
+        .withColumn("image_id", F.lit(None).cast("string"))
+        .withColumn("epoch_added", F.lit(epoch))
+        .select([f.name for f in schemas.FRONTIER.fields])
+    )
+    return seeds.unionByName(recent_rows)
+
+
 def export_json_feed(df: DataFrame, path: str, coalesce: int | None = 1) -> None:
     """K4: ``scrapy crawl -O out.json`` analog (JSON-lines feed export)."""
     out = df.coalesce(coalesce) if coalesce else df

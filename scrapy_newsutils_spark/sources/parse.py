@@ -101,6 +101,9 @@ class _Extractor(HTMLParser):
         # (crawl/spiders.py:193-197 get_authors; items.py Author struct)
         if tag == "meta" and a.get("name", "").lower() == "author" and a.get("content"):
             self.out.authors.append(a["content"].strip())
+        if tag == "meta" and a.get("name", "").lower() == "description" \
+                and a.get("content"):
+            self.out.meta.setdefault("description", a["content"].strip())
         if tag == "a" and "author" in (a.get("rel") or ""):
             self._in_author_anchor = True
         if tag == "meta" and a.get("property") and a.get("content"):
@@ -277,6 +280,9 @@ def parse_page(html: str, base_url: str,
     return {
         "title": title,
         "text": text,
+        "site_name": facts.meta.get("og:site_name"),
+        "description": facts.meta.get("og:description",
+                                      facts.meta.get("description")),
         "excerpt": excerpt,
         "keywords": keywords,
         "authors": authors,
@@ -294,6 +300,8 @@ PARSED_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("title", T.StringType()),
     T.StructField("text", T.StringType()),
+    T.StructField("site_name", T.StringType()),
+    T.StructField("description", T.StringType()),
     T.StructField("excerpt", T.StringType()),
     T.StructField("keywords", T.ArrayType(T.StringType())),
     T.StructField("authors", T.ArrayType(T.StructType([

@@ -89,3 +89,79 @@ def test_day_job_with_renamed_computed_fields(spark, tmp_path):
     metas = day_rows.where(F.col("type").startswith("metapost"))
     assert 0 < metas.count() <= out["metapost"] <= n_with_sibs
     assert metas.where(F.col("tldr").isNull()).count() == 0
+
+
+# -- settings machinery (AppSettings analog) -----------------------------------
+
+def test_appsettings_layering_env_project_defaults():
+    from scrapy_newsutils_spark import conf
+
+    s = conf.posts_settings(
+        project={"SIMILARITY_MAX_DOCS": 5},
+        env={"NEWSUTILS_SIMILARITY_SIBLINGS_THRESHOLD": "0.7",
+             "NEWSUTILS_EDITS_NEW_VERSION_FIELDS": '["text"]'})
+    # env wins, JSON-decoded to the right type
+    assert s["SIMILARITY_SIBLINGS_THRESHOLD"] == 0.7
+    assert s["EDITS_NEW_VERSION_FIELDS"] == ["text"]
+    # project beats defaults
+    assert s["SIMILARITY_MAX_DOCS"] == 5
+    # defaults fill the rest
+    assert s["SUMMARY_FIELD"] == "summary"
+    with pytest.raises(KeyError):
+        s["NO_SUCH_SETTING"]
+
+
+def test_appsettings_required_must_be_explicit():
+    from scrapy_newsutils_spark import conf
+
+    s = conf.AppSettings({"API_KEY": None, "HOST": "x"}, "APP", env={})
+    assert s["HOST"] == "x"
+    with pytest.raises(conf.ImproperlyConfigured):
+        s["API_KEY"]
+    s2 = conf.AppSettings({"API_KEY": None}, "APP",
+                          project={"API_KEY": "k"}, env={})
+    assert s2["API_KEY"] == "k"
+
+
+def test_settings_computed_fields_follow_renames():
+    """Computed settings derive from the configurable *_FIELD names
+    (reference conf/posts.py:40-64): renaming siblings->similar flows into
+    field_names and the edits exclusion set."""
+    from scrapy_newsutils_spark import conf
+
+    s = conf.posts_settings(env={"NEWSUTILS_SIBLINGS_FIELD": "similar"})
+    names = conf.settings_field_names(s)
+    assert names["siblings"] == "similar"
+    excl = conf.settings_edits_excluded_fields(s)
+    assert "similar" in excl and "siblings" not in excl
+    assert {"version", "post_id", "short_link", "keywords",
+            "excerpt"} <= excl
+
+
+def test_settings_drive_crawl_batch(spark, tmp_path):
+    """A settings object layered from env drives the edit classification:
+    with EDITS_NEW_VERSION_FIELDS=["title"], a text-only change is MINOR
+    (update-in-place), not a new version."""
+    import datetime as _dt
+
+    from scrapy_newsutils_spark import conf, fixtures, schemas
+    from scrapy_newsutils_spark.operators import pipeline as P
+    from scrapy_newsutils_spark.plans import posts_pipeline
+    from scrapy_newsutils_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / "posts"), schemas.POSTS)
+    table.overwrite(spark.createDataFrame([], schemas.POSTS))
+    batch = fixtures.posts_batch(spark)
+    dates = P.parse_dates("2024-03-01", "2024-03-05")
+    s = conf.posts_settings(env={"NEWSUTILS_EDITS_NEW_VERSION_FIELDS":
+                                 '["title"]'})
+    posts_pipeline.process_crawl_batch(spark, batch, table, dates, settings=s)
+    edited = batch.withColumn(
+        "text", F.when(F.col("post_id") == 1,
+                       F.concat(F.col("text"), F.lit(" CHANGED")))
+        .otherwise(F.col("text")))
+    stats = posts_pipeline.process_crawl_batch(spark, edited, table, dates,
+                                               settings=s)
+    assert stats.new_version == 0 and stats.minor == 1  # text is not nv now
+    p1 = table.read(spark).where(F.col("short_link") == "/post/1")
+    assert [r["version"] for r in p1.collect()] == [1]  # updated in place
