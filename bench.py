@@ -32,7 +32,8 @@ from scrapy_newsutils_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "frontier_pop_topk", "url_seen_antijoin", "politeness_budget",
-    "edit_classify", "dedup_exact_groups", "minhash_band_pairs",
+    "edit_classify", "crawl_compose_stats", "dedup_exact_groups",
+    "minhash_band_pairs",
     "token_jaccard_pairs", "simhash_near_dups", "dedup_components",
     "embedding_topk",
     "embedding_near_dups", "similarity_pairs", "similarity_bands",

@@ -721,17 +721,26 @@ def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
 
 
 def split_by_filter(spark: SparkSession, batch: DataFrame, filt,
-                    key: str = "url_key") -> tuple[DataFrame, DataFrame]:
+                    key: str = "url_key",
+                    bc_out: list | None = None) -> tuple[DataFrame, DataFrame]:
     """(definitely_new, maybe_seen) under any approximate-membership filter
     exposing ``contains_many`` (PyBloom / PyCuckoo). With no filter,
     everything is maybe.
 
     The probe is an Arrow-batched pandas UDF over the broadcast filter —
     a handful of numpy ops per batch, no per-row Python.
+
+    ``bc_out``: optional list the created Broadcast is appended to, so a
+    long-running caller (the epoch loop) can ``unpersist`` it once the
+    epoch's actions have executed — each epoch re-broadcasts the mutated
+    filter, and without retirement the stale copies linger until GC
+    (O(epochs) executor memory on a long crawl).
     """
     if filt is None:
         return batch.limit(0), batch
     bc = spark.sparkContext.broadcast(filt)
+    if bc_out is not None:
+        bc_out.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(keys: pd.Series) -> pd.Series:  # pragma: no cover
@@ -749,14 +758,15 @@ split_by_bloom = split_by_filter
 
 def new_urls_bloom(spark: SparkSession, batch: DataFrame, seen: DataFrame,
                    key: str = "url_key", fpp: float = 0.01,
-                   bloom=None) -> DataFrame:
+                   bloom=None, bc_out: list | None = None) -> DataFrame:
     """Two-phase membership: approximate fast path (Bloom or cuckoo) +
     exact anti-join on maybes. Semantically identical to ``exact_new_urls``
     (neither filter has false negatives). Pass a prebuilt filter to
     amortize the build across epochs."""
     if bloom is None:
         bloom = build_bloom(seen, key=key, fpp=fpp)
-    definitely_new, maybe = split_by_filter(spark, batch, bloom, key=key)
+    definitely_new, maybe = split_by_filter(spark, batch, bloom, key=key,
+                                            bc_out=bc_out)
     checked = maybe.join(seen.select(key), key, "left_anti")
     return definitely_new.unionByName(checked)
 

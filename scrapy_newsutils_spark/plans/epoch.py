@@ -134,6 +134,10 @@ class CrawlEngine:
         # frontier row estimate (bookkept: -popped +discovered per epoch);
         # lets the pop collapse its salt phase when it would be filterless
         self._frontier_rows_est: int | None = None
+        # broadcast-mode probe broadcasts, retired one epoch late (a live
+        # plan may still reference the current epoch's copy; without
+        # retirement stale copies linger until GC — O(epochs) memory)
+        self._probe_bcs: list = []
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, frontier_df: DataFrame, url_seen_df: DataFrame | None = None) -> None:
@@ -299,7 +303,13 @@ class CrawlEngine:
                 fresh = definitely_new.unionByName(
                     maybe.join(seen.select("url_key"), "url_key", "left_anti"))
             else:
-                fresh = dedup.new_urls_bloom(spark, popped, seen, bloom=filt)
+                # retire the PREVIOUS epoch's probe broadcast (its actions
+                # have all executed), then probe with a fresh copy of the
+                # mutated filter
+                while len(self._probe_bcs) > 0:
+                    self._probe_bcs.pop().unpersist()
+                fresh = dedup.new_urls_bloom(spark, popped, seen, bloom=filt,
+                                             bc_out=self._probe_bcs)
         else:
             fresh = dedup.exact_new_urls(popped, seen)
 
