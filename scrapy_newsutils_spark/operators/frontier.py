@@ -68,41 +68,54 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
     and its shuffle is pure overhead (measured 2x pop cost at the bench's
     k=20000, 150k rows/host).
 
-    Two physical strategies, picked by estimated WINNER-SET size
-    (``narrow=None``) — k alone is not enough, the broadcast is k·|hosts|
-    rows (ADVICE r1):
+    Three physical strategies (``narrow=None`` auto-picks; pass
+    ``narrow=True/False`` to force narrow/wide for tests):
 
     - narrow: rank a (url_key, host, priority, ts) ≈ 40 B/row projection,
       broadcast the ≤ k·|hosts| winners back onto the base — one narrow
       shuffle + one base re-scan instead of shuffling ~200 B rows. At 10^10
       rows: a 400 GB shuffle instead of 2 TB. Chosen when k ≤
       NARROW_POP_MAX_K AND k·|hosts| ≤ NARROW_POP_MAX_WINNERS.
-    - wide: the winner set is too big to broadcast cheaply (driver-side
-      hash-relation build is serial); a single full-width window avoids the
-      join-back entirely.
+    - threshold: when the winner set is too big to broadcast, rank the SAME
+      narrow projection but broadcast only each host's k-th order tuple
+      (|hosts| rows — bytes, not k·|hosts| winners), filter the base scan
+      with it (exactly the k winners survive: the order is total), and
+      re-rank the ~k·|hosts| survivors. Shuffled bytes at 10^10 rows:
+      ~400 GB narrow + ~k·|hosts| full rows, vs the wide plan's 2 TB
+      full-width shuffle. Measured at 30 M rows / k=20 000: the wide
+      full-width shuffle is memory-bandwidth-bound and scales at 0.81
+      across 1→4 cores while the narrow rank scales at 0.95.
+    - wide: single full-width window — smallest constant factor for SMALL
+      frontiers (≤ NARROW_POP_MIN_ROWS, where shuffle bytes don't matter).
 
     ``n_hosts_hint``: caller-supplied approximate host count (the epoch
     loop caches one ``approx_count_distinct`` per engine). Without it and
     with k within bounds, a one-column approx-distinct scan decides — still
     cheaper than a wrong broadcast wedging the job.
     """
+    small = n_rows_hint is not None and int(n_rows_hint) <= NARROW_POP_MIN_ROWS
     if narrow is None:
-        narrow = k <= NARROW_POP_MAX_K
-        if narrow and n_rows_hint is not None \
-                and int(n_rows_hint) <= NARROW_POP_MIN_ROWS:
-            narrow = False  # small frontier: wide shuffle beats join-back
-        if narrow:
-            if n_hosts_hint is None:
+        if small:
+            strategy = "wide"  # small frontier: bytes don't matter
+        else:
+            eligible = k <= NARROW_POP_MAX_K
+            if eligible and n_hosts_hint is None:
                 n_hosts_hint = frontier.agg(
                     F.approx_count_distinct("host").alias("n")).first()["n"]
-            narrow = k * max(int(n_hosts_hint), 1) <= NARROW_POP_MAX_WINNERS
+            if eligible and k * max(int(n_hosts_hint), 1) \
+                    <= NARROW_POP_MAX_WINNERS:
+                strategy = "narrow"
+            else:
+                strategy = "threshold"
+    else:
+        strategy = "narrow" if narrow else "wide"
     if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None
             and SALT_COLLAPSE_FACTOR * k * salts
             >= int(n_rows_hint) / max(int(n_hosts_hint), 1)):
         # phase 1 wouldn't filter enough to pay for its extra shuffle:
         # let the single-window WindowGroupLimit tree top-k do the work
         salts = 1
-    if narrow:
+    if strategy in ("narrow", "threshold"):
         base = frontier.select("url_key", "host", "priority", "discovered_ts")
     else:
         base = frontier
@@ -123,10 +136,28 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
         local.withColumn("pop_rank", F.row_number().over(w2))
         .where(F.col("pop_rank") <= k)
     )
-    if not narrow:
+    if strategy == "wide":
         return ranked
-    winners = ranked.select("url_key", "pop_rank")
-    return frontier.join(F.broadcast(winners), "url_key")
+    if strategy == "narrow":
+        winners = ranked.select("url_key", "pop_rank")
+        return frontier.join(F.broadcast(winners), "url_key")
+    # threshold: each host's k-th order tuple gates the base scan. The pop
+    # order is TOTAL (url_key unique), so `ord <= kth` keeps exactly the k
+    # winners; hosts with < k rows have no threshold row and keep all.
+    ord_expr = F.struct((-F.col("priority")).alias("p"),
+                        F.col("discovered_ts").alias("t"),
+                        F.col("url_key").alias("u"))
+    thr = ranked.where(F.col("pop_rank") == k) \
+        .select("host", ord_expr.alias("_thr"))
+    surv = (
+        frontier.join(F.broadcast(thr), "host", "left")
+        .where(F.col("_thr").isNull() | (ord_expr <= F.col("_thr")))
+        .drop("_thr")
+    )
+    return (
+        surv.withColumn("pop_rank", F.row_number().over(w2))
+        .where(F.col("pop_rank") <= k)
+    )
 
 
 def remove_popped(frontier: DataFrame, popped: DataFrame) -> DataFrame:

@@ -79,3 +79,24 @@ def test_opic_cash_update(spark, frontier_df):
     untouched = set(before) - set(targets)
     for u in list(untouched)[:10]:
         assert after[u] == before[u]
+
+
+def test_threshold_strategy_equals_wide(spark, frontier_df):
+    """The threshold plan (k-th-order-tuple broadcast gate + survivor
+    re-rank) must produce exactly the wide single-window pop — including
+    hosts with fewer than k rows (no threshold row → keep all)."""
+    from scrapy_newsutils_spark.operators import frontier as fops
+
+    wide = fops.pop_top_k_per_host(frontier_df, 5, salts=4, narrow=False)
+    # big hints force the threshold branch: winners 5*1e6 > broadcast cap,
+    # rows hint > NARROW_POP_MIN_ROWS (gates only; data is the fixture)
+    thr = fops.pop_top_k_per_host(frontier_df, 5, salts=4,
+                                  n_hosts_hint=1_000_000,
+                                  n_rows_hint=fops.NARROW_POP_MIN_ROWS + 1)
+    a = {(r["url_key"], r["pop_rank"]) for r in
+         wide.select("url_key", "pop_rank").collect()}
+    b = {(r["url_key"], r["pop_rank"]) for r in
+         thr.select("url_key", "pop_rank").collect()}
+    assert a == b and len(a) > 0
+    # full frontier columns survive the threshold path
+    assert set(thr.columns) == set(frontier_df.columns) | {"pop_rank"}
