@@ -52,6 +52,52 @@ def execute_fetches(polite: DataFrame, images: DataFrame, epoch: int) -> DataFra
     )
 
 
+def fetch_epoch_rows(polite: DataFrame, images: DataFrame, epoch: int) -> DataFrame:
+    """``execute_fetches ∪ denied_rows`` as ONE single-branch plan.
+
+    The union form scans ``polite`` twice (two branches below the union);
+    with observation-based epoch counters attached to ``polite`` a doubled
+    subtree would double-count the metrics, and during the first (pre-cache)
+    materialization both branches race to compute the same partitions. Here
+    robots-denied rows ride the same left join with a nulled join key, so
+    ``polite`` appears exactly once and the payload join shape (AQE
+    broadcast vs shuffle-hash) is unchanged. Row-for-row identical output
+    to the union form (asserted in tests).
+    """
+    attempted = polite.where(F.col("polite_status") != "deferred")
+    is_denied = F.col("polite_status") == "robots_denied"
+    probe = attempted.withColumn(
+        "_fetch_id",
+        F.when(F.col("polite_status") == "ok", F.col("image_id")),
+    )
+    payload = images.select(
+        F.col("image_id").alias("_fetch_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    joined = probe.join(payload, "_fetch_id", "left")
+    return joined.select(
+        F.col("url_key"),
+        F.col("url"),
+        F.col("host"),
+        F.lit(epoch).alias("epoch"),
+        F.when(is_denied, F.lit(None).cast("string"))
+        .otherwise(F.col("image_id")).alias("image_id"),
+        F.col("bytes"),
+        F.col("w"),
+        F.col("h"),
+        F.col("fmt"),
+        F.col("caption"),
+        F.col("phash"),
+        # sim_fetch_ms is already null for non-ok rows (politeness sets it
+        # only on status='ok'), so no branch is needed here
+        F.col("sim_fetch_ms").alias("fetch_ms"),
+        F.when(is_denied, F.lit("robots_denied"))
+        .when(F.col("image_id").isNull() | F.col("bytes").isNull(), F.lit("missing"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def denied_rows(polite: DataFrame, epoch: int) -> DataFrame:
     """robots-denied rows as auditable FETCHED rows (no payload)."""
     return polite.where(F.col("polite_status") == "robots_denied").select(

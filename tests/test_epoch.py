@@ -207,3 +207,28 @@ def test_expire_seen_recrawl_ttl(spark, tmp_path, frontier_df, images_df,
     got = eng.url_seen_t.read(spark).where(
         F.col("url_key") == int(seen_keys[0]))
     assert got.count() == 1 and got.first()["first_seen_epoch"] == 99
+
+
+def test_fetch_epoch_rows_equals_union_form(spark, frontier_df, images_df,
+                                            robots_df):
+    """The single-branch fetch plan (observation-safe, one polite scan) is
+    row-for-row identical to the execute_fetches ∪ denied_rows union."""
+    from scrapy_newsutils_spark.operators import frontier as frontier_ops
+    from scrapy_newsutils_spark.operators import politeness
+    from scrapy_newsutils_spark.sources import fetch as fetch_ops
+
+    popped = frontier_ops.pop_top_k_per_host(frontier_df, 4, salts=4)
+    polite = politeness.with_politeness(popped, robots_df, 60_000)
+    single = fetch_ops.fetch_epoch_rows(polite, images_df, epoch=7)
+    union = fetch_ops.execute_fetches(polite, images_df, epoch=7).unionByName(
+        fetch_ops.denied_rows(polite, epoch=7))
+    cols = fetch_ops.fetched_schema_cols()
+
+    def norm(df):
+        return sorted(
+            (tuple(r[c] for c in cols if c != "bytes") +
+             (bytes(r["bytes"]) if r["bytes"] is not None else None,))
+            for r in df.collect())
+
+    a, b = norm(single), norm(union)
+    assert len(a) > 0 and a == b
