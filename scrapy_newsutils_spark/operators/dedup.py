@@ -459,12 +459,18 @@ def build_partitioned(seen: DataFrame, key: str = "url_key",
                 # build-time parameters or present keys read as absent
                 size, n_hash, blob = f.m, f.k, f.bits.tobytes()
             if s_path is not None:
-                FilterStore(s_path).save_bucket_raw(bv, knd, f)
+                st = FilterStore(s_path)
+                st.save_bucket_raw(bv, knd, f)
+                # exact key segment 0 (committed-state snapshot) — the
+                # store probe resolves filter maybes against these instead
+                # of re-scanning the url_seen table every epoch
+                st.save_key_segment(bv, 0, arr)
             yield emit(bv, knd, size, n_hash,
                        blob if ship_blob else b"", len(arr))
 
     built = keyed.mapInArrow(part_build, out_schema)
     pf = PartitionedFilter(P, kind=kind, cap_per_bucket=cap, fpp=f_fpp)
+    pf.exact_keys = store_path is not None
     rows = built.drop("blob").collect() if not collect_to_driver \
         else built.collect()
     for r in rows:
@@ -545,16 +551,110 @@ class FilterStore:
         # np.savez appends .npz when missing; our tmp already ends in it
         os.replace(tmp, path)
 
+    # -- exact key segments ---------------------------------------------------
+    # Alongside each bucket's approximate filter, the store can keep the
+    # bucket's EXACT keys as sorted int64 .npy segments, one per insert
+    # batch (LSM-style). A probe then resolves the filter's maybes with
+    # mmap'd searchsorted — O(log n) page touches per key — instead of an
+    # anti-join against the full url_seen table: the table scan that made
+    # the round-3 epoch loop O(seen) per epoch at 10^10 keys. Segments are
+    # stamped with the writer's epoch so crash recovery can drop exactly
+    # the orphan batches (the filter files mutate in place and are NOT
+    # rolled back — extra keys there are false positives the exact
+    # segments then reject, never false negatives).
+
+    SEG_COMPACT_N = 16  # merge a bucket's segments when they exceed this
+
+    def _seg_path(self, bv: int, seq: int) -> str:
+        return os.path.join(self.path, f"bucket-{bv:06d}.keys-{seq:08d}.npy")
+
+    def seg_paths(self, bv: int) -> list[str]:
+        pre = f"bucket-{bv:06d}.keys-"
+        return sorted(
+            os.path.join(self.path, n) for n in os.listdir(self.path)
+            if n.startswith(pre) and n.endswith(".npy"))
+
+    def save_key_segment(self, bv: int, seq: int, arr: "np.ndarray") -> None:
+        """Write one sorted-unique key segment (tmp+rename). A same-(bv,
+        seq) replay overwrites with identical content — idempotent."""
+        path = self._seg_path(bv, seq)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}.npy"
+        np.save(tmp, np.unique(np.asarray(arr, dtype=np.int64)))
+        os.replace(tmp, path)
+
+    def contains_exact(self, bv: int, keys: "np.ndarray") -> "np.ndarray":
+        """Exact membership of ``keys`` in bucket ``bv``'s segments.
+        Segments load as mmaps: searchsorted touches O(log n) pages per
+        key, so probing a handful of maybes never reads whole segments."""
+        found = np.zeros(len(keys), dtype=bool)
+        for p in self.seg_paths(bv):
+            seg = np.load(p, mmap_mode="r")
+            if len(seg) == 0:
+                continue
+            idx = np.searchsorted(seg, keys)
+            ok = idx < len(seg)
+            found[ok] |= seg[idx[ok]] == keys[ok]
+        return found
+
+    def apply_key_segment(self, bv: int, seq: int, arr: "np.ndarray",
+                          mode: str = "add") -> None:
+        """Insert (new segment, maybe compact) or delete (rewrite segments
+        in place) a batch of keys for one bucket. Compaction merges every
+        PRE-EXISTING segment into one stamped with their max seq — all of
+        which belong to closed epochs, so recovery (which only drops the
+        crashed epoch's seq) never undoes a compaction."""
+        arr = np.unique(np.asarray(arr, dtype=np.int64))
+        if mode == "delete":
+            for p in self.seg_paths(bv):
+                seg = np.load(p)
+                keep = seg[~np.isin(seg, arr, assume_unique=True)]
+                if len(keep) < len(seg):
+                    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}.npy"
+                    np.save(tmp, keep)
+                    os.replace(tmp, p)
+            return
+        old = self.seg_paths(bv)
+        if len(old) >= self.SEG_COMPACT_N:
+            segs = [np.load(p) for p in old]
+            merged = np.unique(np.concatenate(segs)) if segs else \
+                np.empty(0, dtype=np.int64)
+            max_seq = max(int(p.rsplit("keys-", 1)[1][:-4]) for p in old)
+            self.save_key_segment(bv, max_seq, merged)
+            for p in old:
+                if p != self._seg_path(bv, max_seq):
+                    os.remove(p)
+        self.save_key_segment(bv, seq, arr)
+
+    def drop_segments_from(self, seq: int) -> int:
+        """Crash recovery: remove every bucket's segments stamped >= seq
+        (the crashed epoch's orphan inserts). Returns #files dropped."""
+        n = 0
+        for name in list(os.listdir(self.path)):
+            if ".keys-" in name and name.endswith(".npy"):
+                s = int(name.rsplit("keys-", 1)[1][:-4])
+                if s >= seq:
+                    os.remove(os.path.join(self.path, name))
+                    n += 1
+        return n
+
+    def has_exact_keys(self) -> bool:
+        try:
+            return bool(self.meta().get("exact_keys"))
+        except FileNotFoundError:
+            return False
+
     def clear(self) -> None:
         """Drop all bucket files + meta (before a rebuild with a new bucket
         layout — stale files of an old P would otherwise be probed)."""
         for name in os.listdir(self.path):
-            if name.endswith(".npz") or name == "filter_meta.json":
+            if name.endswith(".npz") or name.endswith(".npy") \
+                    or name == "filter_meta.json":
                 os.remove(os.path.join(self.path, name))
 
     def save_meta(self, pf: PartitionedFilter) -> None:
         with open(self._meta_path(), "w") as fh:
             json.dump({"buckets": pf.buckets, "kind": pf.kind,
+                       "exact_keys": bool(getattr(pf, "exact_keys", False)),
                        "inserted": {str(b): n for b, n in pf.inserted.items()},
                        "capacity": {str(b): n for b, n in pf.capacity.items()}}, fh)
 
@@ -590,26 +690,40 @@ class FilterStore:
                 pf.filters[bv] = self.load_bucket(self.path, bv)
         pf.inserted = {int(b): n for b, n in m.get("inserted", {}).items()}
         pf.capacity = {int(b): n for b, n in m.get("capacity", {}).items()}
+        pf.exact_keys = bool(m.get("exact_keys"))
         return pf
 
 
 def split_by_filter_store(spark: SparkSession, batch: DataFrame,
-                          store_path: str,
-                          key: str = "url_key") -> tuple[DataFrame, DataFrame]:
+                          store_path: str, key: str = "url_key",
+                          exact: bool = False) -> tuple[DataFrame, DataFrame]:
     """(definitely_new, maybe_seen) probing a FilterStore WITHOUT a
     broadcast: repartition the batch on ``pmod(key, P)`` so each task sees
     whole buckets, then a mapInPandas probe lazily loads each bucket's
     filter file at most once per task. This is the executor-memory-bounded
-    probe for seen sets too large to broadcast (>~10^9 keys)."""
+    probe for seen sets too large to broadcast (>~10^9 keys).
+
+    ``exact=True`` (store built with key segments): rows the approximate
+    filter flags are resolved against the bucket's exact sorted-key
+    segments via mmap searchsorted, so the split is EXACT — the second
+    frame IS the seen rows and no confirming anti-join against the
+    url_seen table is needed. That join was O(seen table) per epoch; the
+    segment probe touches O(maybes x log(bucket)) pages."""
     store = FilterStore(store_path)
-    P = int(store.meta()["buckets"])
-    s_path = store_path
+    meta = store.meta()
+    P = int(meta["buckets"])
+    if exact and not meta.get("exact_keys"):
+        raise ValueError(
+            f"filter store {store_path} has no exact key segments; build "
+            "it via build_partitioned(store_path=...) before exact probes")
+    s_path, do_exact = store_path, exact
 
     out_schema = T.StructType(batch.schema.fields +
                               [T.StructField("_maybe", T.BooleanType())])
 
     def gen(batches):
         cache: dict[int, object] = {}
+        st = FilterStore(s_path)
         for pdf in batches:
             keys = pdf[key].to_numpy(dtype=np.int64)
             b = keys % P
@@ -621,7 +735,11 @@ def split_by_filter_store(spark: SparkSession, batch: DataFrame,
                 f = cache[bv]
                 if f is not None:
                     m = b == bv
-                    maybe[m] = f.contains_many(keys[m])
+                    hits = f.contains_many(keys[m])
+                    if do_exact and hits.any():
+                        sub = keys[m]
+                        hits[hits] = st.contains_exact(bv, sub[hits])
+                    maybe[m] = hits
             pdf = pdf.copy()
             pdf["_maybe"] = maybe
             yield pdf
@@ -634,7 +752,7 @@ def split_by_filter_store(spark: SparkSession, batch: DataFrame,
 
 def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
                      store_path: str, key: str = "url_key",
-                     mode: str = "add") -> dict:
+                     mode: str = "add", seq: int | None = None) -> dict:
     """Apply incremental inserts (or cuckoo deletes) to a FilterStore
     ENTIRELY executor-side: the batch is repartitioned on ``pmod(key, P)``
     so each task owns whole buckets, loads each bucket's file once, mutates
@@ -651,6 +769,9 @@ def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
     meta = store.meta()
     P, knd = int(meta["buckets"]), meta["kind"]
     s_path, m_mode = store_path, mode
+    # epoch-stamped exact segments ride along when the store keeps them
+    # (and segment maintenance is as executor-side as the filters)
+    m_seq = seq if meta.get("exact_keys") else None
 
     out_schema = T.StructType([
         T.StructField("bv", T.IntegerType()),
@@ -682,6 +803,10 @@ def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
                     f.delete_many(arr)
                     st.save_bucket_raw(bv, "cuckoo", f)
                 # Bloom buckets can't delete — owner rebuilds instead
+                # (the EXACT segments always can, and must, so a Bloom
+                # store stays exact even while its filter over-approximates)
+                if m_seq is not None:
+                    st.apply_key_segment(bv, m_seq, arr, mode="delete")
             else:
                 if f is None:
                     f = (PyCuckoo(max(len(arr) * 2, 65_536))
@@ -696,6 +821,8 @@ def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
                         f.bits = f.bits.copy()
                     f.add_many(arr)
                 st.save_bucket_raw(bv, knd, f)
+                if m_seq is not None:
+                    st.apply_key_segment(bv, m_seq, arr)
             yield pa.RecordBatch.from_pydict(
                 {"bv": [bv], "n": [len(arr)], "failed": [failed]},
                 schema=pa.schema([pa.field("bv", pa.int32()),

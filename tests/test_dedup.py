@@ -219,3 +219,62 @@ def test_store_apply_keys_executor_side(spark, tmp_path, url_seen_df):
     assert sum(res_d["per_bucket"].values()) == 400
     new_after, maybe_after = dedup.split_by_filter_store(spark, extra, sp)
     assert new_after.count() == 400 and maybe_after.count() == 0
+
+
+def test_split_store_exact_matches_anti_join(spark, tmp_path, frontier_df,
+                                             url_seen_df):
+    """exact=True store probes resolve filter maybes against the mmap'd
+    key segments: the split must EQUAL the exact anti-join — no confirming
+    url_seen table scan needed (VERDICT r3 #7)."""
+    from pyspark.sql import functions as F
+
+    sp = str(tmp_path / "filters")
+    dedup.build_partitioned(url_seen_df, kind="bloom",
+                            cap_per_bucket=max(url_seen_df.count() // 3, 8),
+                            store_path=sp, collect_to_driver=False)
+    assert dedup.FilterStore(sp).has_exact_keys()
+    new_s, seen_s = dedup.split_by_filter_store(spark, frontier_df, sp,
+                                                exact=True)
+    k = lambda df: {r["url_key"] for r in df.select("url_key").collect()}
+    exact_new = k(dedup.exact_new_urls(frontier_df, url_seen_df))
+    all_keys = k(frontier_df)
+    assert k(new_s) == exact_new
+    assert k(seen_s) == all_keys - exact_new
+
+    # incremental inserts join the segments (epoch-stamped) and stay exact
+    extra = spark.range(2_000_000, 2_000_300).select(
+        F.xxhash64("id").alias("url_key"))
+    dedup.store_apply_keys(spark, extra, sp, seq=7)
+    new2, seen2 = dedup.split_by_filter_store(spark, extra, sp, exact=True)
+    assert new2.count() == 0 and seen2.count() == 300
+
+    # crash recovery drops the orphan epoch's segments: keys look new again
+    dedup.FilterStore(sp).drop_segments_from(7)
+    new3, seen3 = dedup.split_by_filter_store(spark, extra, sp, exact=True)
+    assert new3.count() == 300 and seen3.count() == 0
+
+
+def test_segment_compaction_preserves_membership(spark, tmp_path, url_seen_df):
+    """Per-bucket key segments compact (LSM-style) once they exceed
+    SEG_COMPACT_N; membership before == after, and the compacted segment's
+    stamp never exceeds the constituents' max (rollback safety)."""
+    from pyspark.sql import functions as F
+
+    sp = str(tmp_path / "filters")
+    dedup.build_partitioned(url_seen_df, kind="bloom", buckets=2,
+                            store_path=sp, collect_to_driver=False)
+    st = dedup.FilterStore(sp)
+    for e in range(1, st.SEG_COMPACT_N + 3):
+        batch = spark.range(e * 10_000, e * 10_000 + 50).select(
+            F.xxhash64("id").alias("url_key"))
+        dedup.store_apply_keys(spark, batch, sp, seq=e)
+    # compaction happened: well under (build + N inserts) files per bucket
+    for bv in (0, 1):
+        assert len(st.seg_paths(bv)) <= st.SEG_COMPACT_N + 2
+    # every inserted key is still exactly present
+    probe = spark.createDataFrame(
+        [(e * 10_000 + i,) for e in range(1, st.SEG_COMPACT_N + 3)
+         for i in range(0, 50, 7)], "id long").select(
+        F.xxhash64("id").alias("url_key"))
+    new, seen = dedup.split_by_filter_store(spark, probe, sp, exact=True)
+    assert new.count() == 0 and seen.count() == probe.count()

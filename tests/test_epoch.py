@@ -188,7 +188,7 @@ def test_expire_seen_recrawl_ttl(spark, tmp_path, frontier_df, images_df,
         dtype=np.int64)
     n_before = len(seen_keys)
     assert n_before > 0
-    filt = eng._get_bloom(eng.url_seen_t.read(spark))
+    filt = eng._get_bloom()
     assert bool(filt.contains_many(seen_keys).all())
 
     dropped = eng.expire_seen(0)  # everything is older than 0 epochs
