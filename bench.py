@@ -36,7 +36,8 @@ HEADLINE = [
     "minhash_band_pairs",
     "token_jaccard_pairs", "simhash_near_dups", "dedup_components",
     "embedding_topk",
-    "embedding_near_dups", "similarity_pairs", "similarity_bands",
+    "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk",
+    "similarity_pairs", "similarity_bands",
     "ezine_events", "metapost_agg", "lang_id",
     "text_quality", "pricing_summary", "nation_revenue",
     "top_orders_per_cust", "daily_events", "latest_event_per_user",
@@ -92,6 +93,42 @@ def bench_crawl(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_crawl_parse(spark) -> dict:
+    """Parse-inclusive crawl throughput (VERDICT r3 #3): discovery_mode=
+    'parse' runs the REAL S2 link extractor over this epoch's fetched HTML
+    payloads, so ops/s here includes parse-cost-dominated epochs — the
+    regime a news crawl actually runs in."""
+    root = tempfile.mkdtemp(prefix="bench_crawl_parse_")
+    rows = int(os.environ.get("BENCH_PARSE_FRONTIER_ROWS", "2000000"))
+    try:
+        images = fixtures.html_payload_table(spark, n=N_IMAGES)
+        frontier = fixtures.frontier_table(spark, n=rows, n_images=N_IMAGES)
+        eng = CrawlEngine(spark, root, images=images,
+                          robots=fixtures.robots_table(spark),
+                          top_k=TOP_K, salts=16,
+                          discovery_mode="parse",
+                          discovery_images=N_IMAGES)
+        eng.bootstrap(frontier, fixtures.url_seen_table(spark, frontier))
+        eng.run_epoch()  # warmup
+        t0 = time.time()
+        popped = fetched = 0
+        for _ in range(EPOCHS):
+            r = eng.run_epoch()
+            popped += r.popped
+            fetched += r.fetched_ok
+        wall = time.time() - t0
+        return {
+            "frontier_rows": rows,
+            "epochs_timed": EPOCHS,
+            "popped": popped,
+            "fetched": fetched,
+            "wall_sec": round(wall, 2),
+            "pops_plus_fetched_per_sec": round((popped + fetched) / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -101,16 +138,20 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     queries = bench_queries(spark, sf_dir)
-    crawl = {} if os.environ.get("BENCH_SKIP_CRAWL") else bench_crawl(spark)
+    skip_crawl = os.environ.get("BENCH_SKIP_CRAWL")
+    crawl = {} if skip_crawl else bench_crawl(spark)
+    crawl_parse = {} if skip_crawl else bench_crawl_parse(spark)
 
     total = round(sum(queries.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    scaling = None
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            scaling = json.load(f)  # latest scripts/scaling_bench.py result
+    def _embed(name: str):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH", name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -119,7 +160,9 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "crawl": crawl,
-        "scaling": scaling,
+        "crawl_parse_discovery": crawl_parse,
+        "scaling": _embed("scaling.json"),       # scripts/scaling_bench.py
+        "ivf_scale": _embed("ivf_c4096.json"),   # scripts/ivf_bench.py
     }))
 
 

@@ -353,6 +353,72 @@ def ezine_api_table(spark: SparkSession,
                               api_schema)
 
 
+def html_payload_table(spark: SparkSession, n: int, links_per_page: int = 3,
+                       n_link_hosts: int = 40) -> DataFrame:
+    """IMAGES-schema payload table whose bytes are HTML pages (fmt='html')
+    — the parse-driven-discovery bench world. All JVM-side Column
+    expressions (scales like ``frontier_table``); page i carries
+    ``links_per_page`` deterministic absolute outlinks inside the
+    ``story`` section the S2 extractor reads."""
+    i = F.col("id")
+    links = F.concat(*[
+        F.format_string(
+            f'<a href="https://h%d.example.com/d/%dx{j}">l</a>',
+            F.pmod(i * (2 * j + 1) + j, F.lit(n_link_hosts)).cast("int"),
+            i.cast("int"))
+        for j in range(links_per_page)
+    ])
+    html = F.concat(F.lit('<html><body><div class="story"><p>page</p>'),
+                    links, F.lit("</div></body></html>"))
+    return spark.range(n).select(
+        F.format_string("img-%08d", i.cast("int")).alias("image_id"),
+        F.encode(html, "UTF-8").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("html").alias("fmt"),
+        F.format_string("caption %d", i).alias("caption"),
+        i.alias("phash"),
+    )
+
+
+def clustered_embeddings(spark: SparkSession, n: int, dim: int = 64,
+                         n_labels: int = 256, noise: float = 0.15,
+                         seed: int = SEED) -> DataFrame:
+    """Deterministic clustered unit vectors at bench scale: row i =
+    normalize(center[i % n_labels] + noise·sin-field(i)). Generated
+    DISTRIBUTED (mapInPandas over ``spark.range``) and each row depends
+    only on its id, so the table is identical under any parallelism —
+    the pattern the 100-TB embedding tables would use. Cluster structure
+    makes IVF/LSH recall meaningful (uniform random vectors have no
+    neighbors to find)."""
+    centers = np.random.default_rng(seed).standard_normal((n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    nl, d, amp = n_labels, dim, noise
+
+    def gen(batches):
+        j = np.arange(d)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lab = (ids % nl).astype(np.int32)
+            # sin field: smooth deterministic per-(id, component) noise
+            phase = (0.7 * ids[:, None] + 1.3 * j[None, :]
+                     + 0.0013 * ids[:, None] * j[None, :])
+            v = centers[lab] + amp * np.sin(phase)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": list(v.astype(np.float32)),
+                "label": lab,
+            })
+
+    return spark.range(n).mapInPandas(gen, out_schema)
+
+
 def html_pages_from_docs(docs: DataFrame, m: int,
                          source_url: str = "https://news.example.com") -> DataFrame:
     """Deterministic synthetic HTML pages (url, html) from a ``documents``

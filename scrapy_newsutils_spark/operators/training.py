@@ -394,15 +394,17 @@ def srp_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  n_planes: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding", q_id: str = "q_id",
-                 q_vec: str = "q_vec") -> DataFrame:
+                 q_vec: str = "q_vec", cos_round: int = 6) -> DataFrame:
     """LSH-bucketed ANN: corpus and queries bucketed by SRP; candidates =
     same-bucket rows; rank per query. Approximate — recall measured in
-    tests against the brute-force baseline."""
+    tests against the brute-force baseline. ``cos_round`` sets the ranking
+    precision (oracle comparisons use 4 so cross-engine float noise can't
+    reorder ranks)."""
     bucket = srp_bucket_udf(dim, n_planes)
     e = emb.withColumn("bucket", bucket(F.col(vec_col)))
     q = queries.withColumn("bucket", bucket(F.col(q_vec)))
     j = e.join(q, "bucket")
-    scored = j.withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), 6))
+    scored = j.withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), cos_round))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -458,7 +460,8 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id: str = "q_id", q_vec: str = "q_vec",
-                 centroids: np.ndarray | None = None) -> DataFrame:
+                 centroids: np.ndarray | None = None,
+                 cos_round: int = 6) -> DataFrame:
     """IVF ANN: corpus partitioned into ``n_centroids`` Voronoi cells, each
     query probes its ``n_probe`` nearest cells — the scan is |corpus|·p/C
     instead of |corpus|. The equi-join on cell id is the only shuffle; the
@@ -483,7 +486,7 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
     q = queries.withColumn("cid", F.explode(probe_cells(F.col(q_vec))))
     scored = (e.join(q, "cid")
-              .withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), 6)))
+              .withColumn("cos", F.round(cosine_expr(F.col(vec_col), F.col(q_vec)), cos_round)))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

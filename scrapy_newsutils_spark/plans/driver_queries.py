@@ -19,6 +19,7 @@ Operator → SURVEY §2 mapping is in each query's docstring.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -521,6 +522,109 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM emb x JOIN emb y ON x.label = y.label
 WHERE x.vec_id < y.vec_id
   AND round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale paths (LSH bucketing / IVF cell probing) — oracled end to end.
+# Both are DETERMINISTIC given their codebook: the SRP planes are a fixed
+# seed-42 numpy draw (data-independent — the oracle regenerates them and
+# inlines the literals), and the IVF codebook is pinned to the C lowest-id
+# vectors (iters=0 seed choice of ivf_fit_centroids), which plain SQL can
+# reconstruct. This oracles bucket assignment + cell probing + ranking —
+# the parts that could silently diverge at scale — not the Lloyd fit.
+
+_ANN_DIM, _ANN_PLANES, _ANN_C, _ANN_PROBE = 64, 8, 8, 2
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN top-5 for the first 3 vectors (training.ann_lsh_topk:
+    same-bucket candidates only — the 100-TB path where all-pairs is
+    impossible). Rank on round(cos,4) + id tiebreak; no float columns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = training.ann_lsh_topk(emb, queries, dim=_ANN_DIM, k=5,
+                                n_planes=_ANN_PLANES, cos_round=4)
+    return out.select("q_id", "neighbor_id", "rank")
+
+
+def _sql_ann_lsh() -> str:
+    planes = training._rand_planes(_ANN_DIM, _ANN_PLANES, seed=42)
+    terms = []
+    for i in range(_ANN_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        # srp_bucket_udf: out = (out << 1) | sign_i  → plane 0 is the MSB
+        terms.append(f"CASE WHEN list_dot_product(v, {lit}) > 0 "
+                     f"THEN {1 << (_ANN_PLANES - 1 - i)} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 4) DESC,
+                    e.vec_id ASC) AS rank
+  FROM b e JOIN q ON e.bucket = q.bucket
+)
+SELECT q_id, neighbor_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh()
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the first 3 vectors against a PINNED codebook (the
+    C lowest-id vectors — ivf_fit_centroids' iters=0 seed choice): each
+    query probes its n_probe nearest Voronoi cells, candidates come from
+    the cell equi-join only (|corpus|·p/C scanned, never |corpus|)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    seed_rows = (emb.where(F.col("vec_id") < _ANN_C)
+                 .orderBy("vec_id").select("embedding").collect())
+    centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = training.ann_ivf_topk(emb, queries, dim=_ANN_DIM, k=5,
+                                n_centroids=_ANN_C, n_probe=_ANN_PROBE,
+                                centroids=centroids, cos_round=4)
+    return out.select("q_id", "neighbor_id", "rank")
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {_ANN_C}),
+assigned AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+  FROM emb e CROSS JOIN cents c
+),
+ecid AS (SELECT vec_id, v, cid FROM assigned WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 3),
+qprobe AS (
+  SELECT q.q_id, q.q_vec, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(q.q_vec, c.cv) DESC, c.cid ASC) AS rn
+  FROM q CROSS JOIN cents c
+),
+qp AS (SELECT q_id, q_vec, cid FROM qprobe WHERE rn <= {_ANN_PROBE}),
+scored AS (
+  SELECT qp.q_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qp.q_id
+           ORDER BY round(list_cosine_similarity(e.v, qp.q_vec), 4) DESC,
+                    e.vec_id ASC) AS rank
+  FROM ecid e JOIN qp ON e.cid = qp.cid
+)
+SELECT q_id, neighbor_id, rank FROM scored WHERE rank <= 5
 """
 
 
@@ -1031,6 +1135,8 @@ QUERIES: dict[str, tuple] = {
     # embedding similarity
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     # NLP layer
     "similarity_pairs": (q_similarity_pairs, SQL_SIMILARITY_PAIRS),
     "similarity_bands": (q_similarity_bands, SQL_SIMILARITY_BANDS),

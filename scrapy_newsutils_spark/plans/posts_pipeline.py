@@ -66,13 +66,18 @@ def process_crawl_batch(
     dates: list[dt.date],
     image_meta: DataFrame | None = None,
     settings=None,
+    merge_meta: dict | None = None,
 ) -> BatchStats:
     """One crawl batch through F1 → F2 → J2 → F4/F5 → K1, single MERGE.
 
     ``settings``: optional ``conf.AppSettings`` (the reference's layered
     Posts config) — drives the edit classification's computed
     ``edits_excluded_fields`` / ``edits_new_version_fields`` instead of the
-    module constants."""
+    module constants.
+
+    ``merge_meta``: manifest metadata recorded on the MERGE commit — the
+    streaming composition stamps ``last_batch`` here so its replay guard
+    can skip a micro-batch whose posts already landed."""
     n_in = batch.count()
 
     valid = pipeline.filter_valid(batch)
@@ -107,7 +112,7 @@ def process_crawl_batch(
     # rewritten; other days' data dirs stay byte-identical (K1 at scale)
     posts_table.merge_upsert_partitioned(
         spark, to_save, key_cols=["post_id"],
-        part_expr=F.to_date("publish_time"))
+        part_expr=F.to_date("publish_time"), meta=merge_meta)
 
     dated.unpersist(); classified.unpersist(); to_save.unpersist()
     return BatchStats(

@@ -109,9 +109,11 @@ def main() -> None:
                     help="reuse an existing pre-generated fixture dir")
     ap.add_argument("--keep-fixtures", action="store_true")
     ap.add_argument("--repeat", type=int, default=3,
-                    help="interleaved repeats per level; the per-level MIN is "
-                         "used (this host has noisy neighbors — min wall is "
-                         "the least-contended estimate of true capacity)")
+                    help="interleaved repeats per level; the per-level MEDIAN "
+                         "decides pass/fail (a single quiet window must not "
+                         "carry the result on this noisy-neighbor host); the "
+                         "per-level min is reported alongside as the "
+                         "least-contended capacity estimate")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -135,19 +137,29 @@ def main() -> None:
                                  args.top_k, fixdir))
         print(f"repeat {i + 1}/{args.repeat}: N={lo_runs[-1]['wall_sec']}s "
               f"4N={hi_runs[-1]['wall_sec']}s", flush=True)
-    lo = min(lo_runs, key=lambda r: r["wall_sec"])
-    hi = min(hi_runs, key=lambda r: r["wall_sec"])
+    def med(runs: list[dict]) -> dict:
+        # median-by-wall run (odd repeats → exact median; even → lower mid)
+        s = sorted(runs, key=lambda r: r["wall_sec"])
+        return s[(len(s) - 1) // 2]
+
+    lo, hi = med(lo_runs), med(hi_runs)
+    lo_min = min(lo_runs, key=lambda r: r["wall_sec"])
+    hi_min = min(hi_runs, key=lambda r: r["wall_sec"])
     eff_ops = (hi["ops_per_sec"] / lo["ops_per_sec"]) / 4
+    eff_min = (hi_min["ops_per_sec"] / lo_min["ops_per_sec"]) / 4
     result = {
         "protocol": f"same job, same input ({args.rows} frontier rows, "
                     f"{args.epochs} timed epochs), fresh JVM per level, "
-                    f"{args.repeat} interleaved repeats per level, per-level "
-                    f"min taken (noisy-host protocol)",
+                    f"{args.repeat} interleaved repeats per level; per-level "
+                    f"MEDIAN decides pass/fail (noisy-host protocol — one "
+                    f"quiet window must not carry the result), per-level min "
+                    f"reported as least-contended capacity",
         "N": lo, "4N": hi,
         "N_all_walls": [r["wall_sec"] for r in lo_runs],
         "4N_all_walls": [r["wall_sec"] for r in hi_runs],
         "speedup": round(lo["wall_sec"] / hi["wall_sec"], 3),
         "scaling_efficiency": round(eff_ops, 3),
+        "scaling_efficiency_min": round(eff_min, 3),
         "target": 0.8,
         "pass": eff_ops >= 0.8,
     }

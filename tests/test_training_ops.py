@@ -281,3 +281,65 @@ def test_multimodal_frame_sampling(spark):
 def test_audio_stub_gated():
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio_stub(b"\x00")
+
+
+def test_ivf_realistic_codebook_recall(spark):
+    """VERDICT r3 #5: IVF at a realistic codebook size (C=4096, not the
+    toy 8/16). Clustered corpus → probing n_probe of C cells (1.6% of the
+    corpus scanned) keeps recall@5 high, and the fit is deterministic at
+    this C (only the C×dim codebook reaches the driver)."""
+    from scrapy_newsutils_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, 40_000, dim=32,
+                                        n_labels=128).cache()
+    assert emb.count() == 40_000
+    centroids = training.ivf_fit_centroids(emb, dim=32, n_centroids=4096,
+                                           iters=1)
+    assert centroids.shape == (4096, 32)
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")).cache())
+    exact = training.ann_bruteforce_topk(emb, queries, k=5)
+    approx = training.ann_ivf_topk(emb, queries, dim=32, k=5,
+                                   n_centroids=4096, n_probe=64,
+                                   centroids=centroids)
+    ex = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
+    # deterministic re-fit at the same C → bit-identical codebook
+    again = training.ivf_fit_centroids(emb, dim=32, n_centroids=4096,
+                                       iters=1)
+    assert np.array_equal(centroids, again)
+    emb.unpersist(); queries.unpersist()
+
+
+def test_clustered_embeddings_deterministic_and_unit_norm(spark):
+    """Bench-scale vector fixture: distributed generation, each row a pure
+    function of its id — two generations are identical, norms are 1."""
+    from scrapy_newsutils_spark import fixtures
+
+    a = fixtures.clustered_embeddings(spark, 500, dim=16, n_labels=32)
+    b = fixtures.clustered_embeddings(spark, 500, dim=16, n_labels=32)
+    ra = {r["vec_id"]: (r["label"], tuple(r["embedding"])) for r in a.collect()}
+    rb = {r["vec_id"]: (r["label"], tuple(r["embedding"])) for r in b.collect()}
+    assert ra == rb and len(ra) == 500
+    for vid, (lab, vec) in list(ra.items())[:20]:
+        assert lab == vid % 32
+        assert abs(np.linalg.norm(np.array(vec)) - 1.0) < 1e-5
+
+
+def test_html_payload_table_parseable(spark):
+    """The parse-bench payload world: fmt='html', story-section links the
+    S2 extractor actually finds."""
+    from scrapy_newsutils_spark import fixtures
+    from scrapy_newsutils_spark.sources import parse as parse_ops
+
+    imgs = fixtures.html_payload_table(spark, 10, links_per_page=3)
+    rows = imgs.collect()
+    assert len(rows) == 10 and all(r["fmt"] == "html" for r in rows)
+    pages = imgs.select(
+        F.format_string("https://h0.example.com/p/%d", F.monotonically_increasing_id()).alias("url"),
+        F.col("bytes").cast("string").alias("html"))
+    parsed = parse_ops.parse_pages(pages).select("url", "outlinks").collect()
+    assert all(len(r["outlinks"]) == 3 for r in parsed)
