@@ -45,12 +45,17 @@ NARROW_POP_MIN_ROWS = 10_000_000
 # WindowGroupLimit plan wins (measured at 250 rows/host, k=3, S=4:
 # salted 0.28 s vs single-window 0.19 s)
 SALT_COLLAPSE_FACTOR = 32
+# priority-histogram resolution for the selection plan: survivor excess per
+# host ≈ one bin's population (~n_h/B for spread priorities); 1024 keeps the
+# (host, bin) partial-agg state trivial (|hosts|·B rows max in the shuffle)
+POP_HIST_BINS = 1024
 
 
 def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                        narrow: bool | None = None,
                        n_hosts_hint: int | None = None,
-                       n_rows_hint: int | None = None) -> DataFrame:
+                       n_rows_hint: int | None = None,
+                       strategy: str | None = None) -> DataFrame:
     """Top-k URLs per host by crawl order; returns frontier rows + ``pop_rank``.
 
     ``salts=1`` degenerates to the single-window plan (used by the oracle
@@ -76,17 +81,34 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
       shuffle + one base re-scan instead of shuffling ~200 B rows. At 10^10
       rows: a 400 GB shuffle instead of 2 TB. Chosen when k ≤
       NARROW_POP_MAX_K AND k·|hosts| ≤ NARROW_POP_MAX_WINNERS.
-    - threshold: when the winner set is too big to broadcast, rank the SAME
-      narrow projection but broadcast only each host's k-th order tuple
-      (|hosts| rows — bytes, not k·|hosts| winners), filter the base scan
-      with it (exactly the k winners survive: the order is total), and
-      re-rank the ~k·|hosts| survivors. Shuffled bytes at 10^10 rows:
-      ~400 GB narrow + ~k·|hosts| full rows, vs the wide plan's 2 TB
-      full-width shuffle. Measured at 30 M rows / k=20 000: the wide
-      full-width shuffle is memory-bandwidth-bound and scales at 0.81
-      across 1→4 cores while the narrow rank scales at 0.95.
+    - histogram (the big-k × big-input default): SELECTION instead of
+      sort. Every strategy below ultimately ranks the whole input to find
+      each host's k-th row — a full sort of the narrow projection, the
+      memory-bandwidth-bound stage that capped 1→4-core scaling at ~0.77
+      in round-4 traces. This plan never sorts the input: (1) one narrow
+      aggregate gets per-host (count, min, max) of priority; (2) one
+      narrow ``groupBy(host, bin)`` count over a B-bin normalized priority
+      histogram (map-side partial agg — the shuffle is ≤ |hosts|·B tiny
+      rows regardless of input size); (3) the k-th row's BIN per host is
+      read off the descending cumulative counts; (4) the full scan is
+      gated on ``bin ≥ b*`` (a superset of the true top-k by
+      construction: fewer than k rows lie in bins strictly above b*) and
+      only the ~(k + one bin's population)·|hosts| survivors are
+      window-ranked exactly. Shuffled bytes at 10^10 rows: two tiny agg
+      shuffles + ~k·|hosts| full rows — no 400 GB narrow rank shuffle at
+      all. Degenerate distributions (a host's priorities all equal → one
+      bin) stay correct, they just re-rank that whole host.
+    - threshold: rank the SAME narrow projection (full narrow sort), then
+      broadcast only each host's k-th order tuple (|hosts| rows), filter
+      the base scan with it (exactly the k winners survive: the order is
+      total), and re-rank the ~k·|hosts| survivors. Kept for comparison
+      and as the fallback shape when priorities are adversarially
+      concentrated; the histogram plan replaces it as the auto pick.
     - wide: single full-width window — smallest constant factor for SMALL
       frontiers (≤ NARROW_POP_MIN_ROWS, where shuffle bytes don't matter).
+
+    ``strategy``: force one of 'wide' | 'narrow' | 'threshold' |
+    'histogram' (tests and plan audits); None auto-picks.
 
     ``n_hosts_hint``: caller-supplied approximate host count (the epoch
     loop caches one ``approx_count_distinct`` per engine). Without it and
@@ -94,8 +116,10 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
     cheaper than a wrong broadcast wedging the job.
     """
     small = n_rows_hint is not None and int(n_rows_hint) <= NARROW_POP_MIN_ROWS
-    if narrow is None:
-        if small:
+    if strategy is None:
+        if narrow is not None:
+            strategy = "narrow" if narrow else "wide"
+        elif small:
             strategy = "wide"  # small frontier: bytes don't matter
         else:
             eligible = k <= NARROW_POP_MAX_K
@@ -106,9 +130,9 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                     <= NARROW_POP_MAX_WINNERS:
                 strategy = "narrow"
             else:
-                strategy = "threshold"
-    else:
-        strategy = "narrow" if narrow else "wide"
+                strategy = "histogram"
+    if strategy == "histogram":
+        return _histogram_pop(frontier, k)
     if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None
             and SALT_COLLAPSE_FACTOR * k * salts
             >= int(n_rows_hint) / max(int(n_hosts_hint), 1)):
@@ -154,6 +178,55 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
         .where(F.col("_thr").isNull() | (ord_expr <= F.col("_thr")))
         .drop("_thr")
     )
+    return (
+        surv.withColumn("pop_rank", F.row_number().over(w2))
+        .where(F.col("pop_rank") <= k)
+    )
+
+
+def _histogram_pop(frontier: DataFrame, k: int) -> DataFrame:
+    """Selection-plan top-k per host (see pop_top_k_per_host docstring).
+
+    Correctness invariant: b* is the k-th-from-top row's bin (the largest
+    bin whose top-down cumulative count reaches k), so bins strictly above
+    b* hold < k rows — every true top-k row has bin ≥ b* and survives the
+    gate; the exact window rank then trims ties and bin-mates. Hosts with
+    < k rows never cross the cumulative and keep everything (b* null).
+    Priority NaNs/nulls are not expected in the frontier schema (priority
+    is NOT NULL); min==max degenerates to bin 0 for the whole host, which
+    is correct (all rows survive, exact rank decides)."""
+    B = POP_HIST_BINS
+    p = F.col("priority")
+    stats = frontier.groupBy("host").agg(
+        F.min(p).alias("_pmin"), F.max(p).alias("_pmax"))
+
+    span = F.col("_pmax") - F.col("_pmin")
+    bin_expr = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(F.least(F.floor((p - F.col("_pmin")) / span * B),
+                           F.lit(B - 1)))
+        .cast("int")
+    )
+    hist = (
+        frontier.select("url_key", "host", "priority")
+        .join(F.broadcast(stats), "host")
+        .withColumn("_bin", bin_expr)
+        .groupBy("host", "_bin").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("host").orderBy(F.col("_bin").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bstar = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .where(F.col("_cum") >= k)
+        .groupBy("host").agg(F.max("_bin").alias("_bstar"))
+    )
+    gate = stats.join(bstar, "host", "left")
+    surv = (
+        frontier.join(F.broadcast(gate), "host")
+        .where(F.col("_bstar").isNull() | (bin_expr >= F.col("_bstar")))
+        .drop("_pmin", "_pmax", "_bstar")
+    )
+    w2 = Window.partitionBy("host").orderBy(*pop_order())
     return (
         surv.withColumn("pop_rank", F.row_number().over(w2))
         .where(F.col("pop_rank") <= k)

@@ -82,21 +82,47 @@ def test_opic_cash_update(spark, frontier_df):
 
 
 def test_threshold_strategy_equals_wide(spark, frontier_df):
-    """The threshold plan (k-th-order-tuple broadcast gate + survivor
-    re-rank) must produce exactly the wide single-window pop — including
-    hosts with fewer than k rows (no threshold row → keep all)."""
+    """Every physical pop strategy (wide / threshold / histogram, plus the
+    auto pick under big hints) must produce exactly the same rows+ranks —
+    including hosts with fewer than k rows (no gate row → keep all)."""
     from scrapy_newsutils_spark.operators import frontier as fops
 
+    def keys(df):
+        return {(r["url_key"], r["pop_rank"]) for r in
+                df.select("url_key", "pop_rank").collect()}
+
     wide = fops.pop_top_k_per_host(frontier_df, 5, salts=4, narrow=False)
-    # big hints force the threshold branch: winners 5*1e6 > broadcast cap,
-    # rows hint > NARROW_POP_MIN_ROWS (gates only; data is the fixture)
-    thr = fops.pop_top_k_per_host(frontier_df, 5, salts=4,
-                                  n_hosts_hint=1_000_000,
-                                  n_rows_hint=fops.NARROW_POP_MIN_ROWS + 1)
+    a = keys(wide)
+    assert len(a) > 0
+    for strat in ("threshold", "histogram"):
+        got = fops.pop_top_k_per_host(frontier_df, 5, salts=4,
+                                      strategy=strat)
+        assert keys(got) == a, strat
+        assert set(got.columns) == set(frontier_df.columns) | {"pop_rank"}
+    # big hints auto-pick the selection plan: winners 5*1e6 > broadcast
+    # cap, rows hint > NARROW_POP_MIN_ROWS (gates only; data = fixture)
+    auto = fops.pop_top_k_per_host(frontier_df, 5, salts=4,
+                                   n_hosts_hint=1_000_000,
+                                   n_rows_hint=fops.NARROW_POP_MIN_ROWS + 1)
+    assert keys(auto) == a
+
+
+def test_histogram_pop_degenerate_and_tied_priorities(spark, frontier_df):
+    """Histogram selection edge cases: a host whose priorities are ALL
+    equal (span 0 → single bin → whole host survives the gate, exact rank
+    decides) and k-th-boundary priority ties must match the wide plan."""
+    from pyspark.sql import functions as F
+
+    from scrapy_newsutils_spark.operators import frontier as fops
+
+    flat = frontier_df.withColumn(
+        "priority",
+        F.when(F.col("host") == "hot1.example.com", F.lit(0.5))
+        .otherwise(F.round(F.col("priority") * 4) / 4))  # heavy tie bands
+    wide = fops.pop_top_k_per_host(flat, 7, salts=4, narrow=False)
+    hist = fops.pop_top_k_per_host(flat, 7, salts=4, strategy="histogram")
     a = {(r["url_key"], r["pop_rank"]) for r in
          wide.select("url_key", "pop_rank").collect()}
     b = {(r["url_key"], r["pop_rank"]) for r in
-         thr.select("url_key", "pop_rank").collect()}
+         hist.select("url_key", "pop_rank").collect()}
     assert a == b and len(a) > 0
-    # full frontier columns survive the threshold path
-    assert set(thr.columns) == set(frontier_df.columns) | {"pop_rank"}
