@@ -694,21 +694,22 @@ class FilterStore:
         return pf
 
 
-def split_by_filter_store(spark: SparkSession, batch: DataFrame,
-                          store_path: str, key: str = "url_key",
-                          exact: bool = False) -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen) probing a FilterStore WITHOUT a
-    broadcast: repartition the batch on ``pmod(key, P)`` so each task sees
-    whole buckets, then a mapInPandas probe lazily loads each bucket's
-    filter file at most once per task. This is the executor-memory-bounded
-    probe for seen sets too large to broadcast (>~10^9 keys).
+def tag_by_filter_store(spark: SparkSession, batch: DataFrame,
+                        store_path: str, key: str = "url_key",
+                        exact: bool = False) -> DataFrame:
+    """``batch`` + a ``_maybe`` membership column, probing a FilterStore
+    WITHOUT a broadcast: repartition the batch on ``pmod(key, P)`` so each
+    task sees whole buckets, then a mapInPandas probe lazily loads each
+    bucket's filter file at most once per task. This is the
+    executor-memory-bounded probe for seen sets too large to broadcast
+    (>~10^9 keys).
 
     ``exact=True`` (store built with key segments): rows the approximate
     filter flags are resolved against the bucket's exact sorted-key
-    segments via mmap searchsorted, so the split is EXACT — the second
-    frame IS the seen rows and no confirming anti-join against the
-    url_seen table is needed. That join was O(seen table) per epoch; the
-    segment probe touches O(maybes x log(bucket)) pages."""
+    segments via mmap searchsorted, so the tag is EXACT. Returning the
+    tagged frame (rather than the two filtered branches) lets a caller
+    cache ONE frame and derive fresh rows, duplicate keys, and batch
+    counts from it without re-running the probe per branch."""
     store = FilterStore(store_path)
     meta = store.meta()
     P = int(meta["buckets"])
@@ -744,8 +745,28 @@ def split_by_filter_store(spark: SparkSession, batch: DataFrame,
             pdf["_maybe"] = maybe
             yield pdf
 
-    routed = batch.repartition(min(P, 256), F.pmod(F.col(key), F.lit(P)))
-    tagged = routed.mapInPandas(gen, out_schema)
+    # partition count decoupled from the bucket count: a small store (few
+    # buckets) must not force fewer tasks than cores — P=5 buckets on 4
+    # cores ran a straggler wave at parallelism 2.1 in the round-4 stage
+    # audit. Any count is CORRECT (each task groups its keys by bucket and
+    # loads each bucket file at most once, mmap-shared across tasks); the
+    # modulus keys a partition to ~1 bucket so per-task loads stay few.
+    par = spark.sparkContext.defaultParallelism
+    n_parts = min(max(P, 2 * par), 4096)
+    routed = batch.repartition(n_parts, F.pmod(F.col(key), F.lit(n_parts)))
+    return routed.mapInPandas(gen, out_schema)
+
+
+def split_by_filter_store(spark: SparkSession, batch: DataFrame,
+                          store_path: str, key: str = "url_key",
+                          exact: bool = False) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) — the two branches of
+    ``tag_by_filter_store``; with ``exact=True`` the second frame IS the
+    seen rows (no confirming anti-join against the url_seen table needed —
+    that join was O(seen table) per epoch; the segment probe touches
+    O(maybes x log(bucket)) pages)."""
+    tagged = tag_by_filter_store(spark, batch, store_path, key=key,
+                                 exact=exact)
     return (tagged.where(~F.col("_maybe")).drop("_maybe"),
             tagged.where(F.col("_maybe")).drop("_maybe"))
 

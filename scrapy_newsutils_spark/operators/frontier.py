@@ -55,7 +55,8 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                        narrow: bool | None = None,
                        n_hosts_hint: int | None = None,
                        n_rows_hint: int | None = None,
-                       strategy: str | None = None) -> DataFrame:
+                       strategy: str | None = None,
+                       priority_bounds: tuple[float, float] | None = None) -> DataFrame:
     """Top-k URLs per host by crawl order; returns frontier rows + ``pop_rank``.
 
     ``salts=1`` degenerates to the single-window plan (used by the oracle
@@ -114,6 +115,14 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
     loop caches one ``approx_count_distinct`` per engine). Without it and
     with k within bounds, a one-column approx-distinct scan decides — still
     cheaper than a wrong broadcast wedging the job.
+
+    ``priority_bounds``: known a-priori (lo, hi) priority bounds — OPIC
+    frontiers are [0, 1] by construction (cash shares capped at 1.0). Lets
+    the histogram plan bin on a FIXED global grid and skip its per-host
+    min/max pass: one fewer full scan of the input per pop. Hosts whose
+    priorities occupy a narrow slice of the range just land in fewer bins —
+    the superset gate stays correct, only looser (more survivors re-ranked
+    exactly). Ignored by the other strategies.
     """
     small = n_rows_hint is not None and int(n_rows_hint) <= NARROW_POP_MIN_ROWS
     if strategy is None:
@@ -132,7 +141,7 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
             else:
                 strategy = "histogram"
     if strategy == "histogram":
-        return _histogram_pop(frontier, k)
+        return _histogram_pop(frontier, k, priority_bounds)
     if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None
             and SALT_COLLAPSE_FACTOR * k * salts
             >= int(n_rows_hint) / max(int(n_hosts_hint), 1)):
@@ -184,7 +193,8 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
     )
 
 
-def _histogram_pop(frontier: DataFrame, k: int) -> DataFrame:
+def _histogram_pop(frontier: DataFrame, k: int,
+                   priority_bounds: tuple[float, float] | None = None) -> DataFrame:
     """Selection-plan top-k per host (see pop_top_k_per_host docstring).
 
     Correctness invariant: b* is the k-th-from-top row's bin (the largest
@@ -194,25 +204,43 @@ def _histogram_pop(frontier: DataFrame, k: int) -> DataFrame:
     < k rows never cross the cumulative and keep everything (b* null).
     Priority NaNs/nulls are not expected in the frontier schema (priority
     is NOT NULL); min==max degenerates to bin 0 for the whole host, which
-    is correct (all rows survive, exact rank decides)."""
+    is correct (all rows survive, exact rank decides).
+
+    With ``priority_bounds`` the bin grid is fixed a priori and the
+    per-host min/max pass disappears — two scans of the input total
+    (histogram + gated re-rank) instead of three."""
     B = POP_HIST_BINS
     p = F.col("priority")
-    stats = frontier.groupBy("host").agg(
-        F.min(p).alias("_pmin"), F.max(p).alias("_pmax"))
-
-    span = F.col("_pmax") - F.col("_pmin")
-    bin_expr = (
-        F.when(span <= 0, F.lit(0))
-        .otherwise(F.least(F.floor((p - F.col("_pmin")) / span * B),
-                           F.lit(B - 1)))
-        .cast("int")
-    )
-    hist = (
-        frontier.select("url_key", "host", "priority")
-        .join(F.broadcast(stats), "host")
-        .withColumn("_bin", bin_expr)
-        .groupBy("host", "_bin").agg(F.count(F.lit(1)).alias("_c"))
-    )
+    if priority_bounds is not None:
+        lo, hi = float(priority_bounds[0]), float(priority_bounds[1])
+        span_g = hi - lo
+        if span_g <= 0:
+            raise ValueError("priority_bounds must satisfy lo < hi")
+        bin_expr = F.least(
+            F.greatest(F.floor((p - F.lit(lo)) / F.lit(span_g) * B),
+                       F.lit(0)),
+            F.lit(B - 1)).cast("int")
+        hist = (
+            frontier.select("host", "priority")
+            .withColumn("_bin", bin_expr)
+            .groupBy("host", "_bin").agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        stats = frontier.groupBy("host").agg(
+            F.min(p).alias("_pmin"), F.max(p).alias("_pmax"))
+        span = F.col("_pmax") - F.col("_pmin")
+        bin_expr = (
+            F.when(span <= 0, F.lit(0))
+            .otherwise(F.least(F.floor((p - F.col("_pmin")) / span * B),
+                               F.lit(B - 1)))
+            .cast("int")
+        )
+        hist = (
+            frontier.select("url_key", "host", "priority")
+            .join(F.broadcast(stats), "host")
+            .withColumn("_bin", bin_expr)
+            .groupBy("host", "_bin").agg(F.count(F.lit(1)).alias("_c"))
+        )
     wcum = Window.partitionBy("host").orderBy(F.col("_bin").desc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bstar = (
@@ -220,9 +248,12 @@ def _histogram_pop(frontier: DataFrame, k: int) -> DataFrame:
         .where(F.col("_cum") >= k)
         .groupBy("host").agg(F.max("_bin").alias("_bstar"))
     )
-    gate = stats.join(bstar, "host", "left")
+    if priority_bounds is not None:
+        gate = bstar
+    else:
+        gate = stats.join(bstar, "host", "left")
     surv = (
-        frontier.join(F.broadcast(gate), "host")
+        frontier.join(F.broadcast(gate), "host", "left")
         .where(F.col("_bstar").isNull() | (bin_expr >= F.col("_bstar")))
         .drop("_pmin", "_pmax", "_bstar")
     )

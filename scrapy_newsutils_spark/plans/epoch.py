@@ -369,10 +369,14 @@ class CrawlEngine:
                 F.count("*").alias("rows")).first()
             self._n_hosts_hint = int(r["n"])
             self._frontier_rows_est = int(r["rows"])
+        # OPIC priorities are [0,1] by construction (cash shares capped at
+        # 1.0 on append and compaction) — the histogram pop strategy can
+        # bin on a fixed grid and skip its per-host min/max scan.
         popped = frontier_ops.pop_top_k_per_host(
             frontier, self.top_k, salts=self.salts,
             n_hosts_hint=self._n_hosts_hint,
-            n_rows_hint=self._frontier_rows_est).cache()
+            n_rows_hint=self._frontier_rows_est,
+            priority_bounds=(0.0, 1.0))
 
         tt = self._trace("pop_build", tt)
         # 2. URL-seen membership (epoch-level: state table vs this batch).
@@ -382,12 +386,26 @@ class CrawlEngine:
         # (round-3 ran a confirming anti-join against the full table here —
         # O(seen) IO+shuffle per epoch). Broadcast/exact modes still read
         # the table; they are the small-scale conveniences.
+        #
+        # Store mode caches the probe's TAGGED frame (pop ∪ _maybe flag)
+        # as the epoch's working set: fresh rows, duplicate keys (for the
+        # frontier delete), and the popped count all derive from one cache
+        # — the other modes cache the pop and anti-join for duplicates.
+        dup_keys = None  # store mode: exact duplicate keys, no anti-join
         if self.use_bloom:
             filt = self._get_bloom()
-            if self.filter_probe == "store" and filt is not None:
-                fresh, _seen_rows = dedup.split_by_filter_store(
-                    spark, popped, self._filter_store_dir(), exact=True)
-            else:
+        if self.use_bloom and self.filter_probe == "store" and \
+                filt is not None:
+            tagged = dedup.tag_by_filter_store(
+                spark, popped, self._filter_store_dir(), exact=True).cache()
+            epoch_cache = tagged
+            fresh = tagged.where(~F.col("_maybe")).drop("_maybe")
+            dup_keys = tagged.where(F.col("_maybe")).select("url_key")
+            popped = tagged.drop("_maybe")
+        else:
+            popped = popped.cache()
+            epoch_cache = popped
+            if self.use_bloom:
                 # retire the PREVIOUS epoch's probe broadcast (its actions
                 # have all executed), then probe with a fresh copy of the
                 # mutated filter
@@ -396,8 +414,9 @@ class CrawlEngine:
                 fresh = dedup.new_urls_bloom(
                     spark, popped, self.url_seen_t.read(spark), bloom=filt,
                     bc_out=self._probe_bcs)
-        else:
-            fresh = dedup.exact_new_urls(popped, self.url_seen_t.read(spark))
+            else:
+                fresh = dedup.exact_new_urls(
+                    popped, self.url_seen_t.read(spark))
 
         tt = self._trace("filter_get", tt)
         # re-rank after dedup: seen URLs must not consume politeness budget
@@ -556,7 +575,28 @@ class CrawlEngine:
             out.unpersist()
             return fv2
 
-        tasks = [_commit_url_seen, _commit_metrics]
+        # the frontier delete's DATA write (the expensive, fully parallel
+        # half) rides the same pool; only the metadata-only manifest flip
+        # stays on the ordered critical path below (recovery keys on the
+        # frontier commit being last).
+        if dup_keys is not None:
+            # store mode: popped ∖ deferred ≡ attempted ∪ exact duplicates
+            # — both straight off this epoch's caches. The general-mode
+            # popped-vs-deferred anti-join shuffles 2·|popped| rows to
+            # produce a result that is usually a few % of that.
+            remove = attempted.select("url_key").unionByName(dup_keys)
+        else:
+            remove = popped.join(
+                polite.where(F.col("polite_status") == "deferred")
+                .select("url_key"),
+                "url_key", "left_anti",
+            )
+
+        def _prepare_delete() -> str:
+            return self.frontier_t.prepare_delete(
+                remove.select("url_key"), ["url_key"])
+
+        tasks = [_commit_url_seen, _commit_metrics, _prepare_delete]
         if self._discovery_on():
             tasks.append(_commit_discovery)
         expected_fv = frontier_v
@@ -565,17 +605,14 @@ class CrawlEngine:
             results = [f.result() for f in futures]  # re-raises task errors
         if self._discovery_on():
             expected_fv = results[-1]
+        delete_dir = results[2]
         n_popped, n_dedup_dropped = self._epoch_counts
         tt = self._trace("parallel_commits", tt)
 
         # frontier': remove attempted + duplicate rows (deferred stay queued)
         # as a merge-on-read delete delta — O(popped), never O(frontier).
-        remove = popped.join(
-            polite.where(F.col("polite_status") == "deferred").select("url_key"),
-            "url_key", "left_anti",
-        )
-        fv = self.frontier_t.delete_by_keys(
-            remove.select("url_key"), ["url_key"],
+        fv = self.frontier_t.commit_prepared_delete(
+            delete_dir, ["url_key"],
             meta={
                 "epoch": epoch,
                 "url_seen_version": self.url_seen_t.current_version(),
@@ -587,7 +624,7 @@ class CrawlEngine:
         if self.frontier_t.n_delete_deltas() >= self.compact_every:
             fv = self._compact_frontier(epoch)
 
-        for df in (popped, polite, fetched):
+        for df in (epoch_cache, polite, fetched):
             df.unpersist()
 
         if self._frontier_rows_est is not None:

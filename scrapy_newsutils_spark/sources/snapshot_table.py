@@ -259,9 +259,25 @@ class SnapshotTable:
         frontier semantics guarantee popped keys are never re-inserted
         (they live in url_seen from then on). Compact with ``compact()``
         when the delete set grows past ~10% of base."""
-        d = self._write_data(keys.select(*key_cols).dropDuplicates(key_cols))
+        d = self.prepare_delete(keys, key_cols)
+        return self.commit_prepared_delete(d, key_cols, meta, expected_version)
+
+    def prepare_delete(self, keys: DataFrame, key_cols: list[str]) -> str:
+        """Write a delete delta's data files WITHOUT committing — the write
+        (the expensive, fully parallel half of ``delete_by_keys``) can then
+        overlap other work, while the manifest flip stays on the caller's
+        ordered critical path. Side-effect-free until
+        ``commit_prepared_delete``: an uncommitted data dir is invisible to
+        readers and swept by ``vacuum``."""
+        return self._write_data(keys.select(*key_cols).dropDuplicates(key_cols))
+
+    def commit_prepared_delete(self, data_dir: str, key_cols: list[str],
+                               meta: dict | None = None,
+                               expected_version: int | None = None) -> int:
+        """Commit a delta previously written by ``prepare_delete`` (metadata
+        only — no Spark job)."""
         m = self.manifest()
-        dels = m.get("deletes", []) + [{"dir": d, "keys": key_cols}]
+        dels = m.get("deletes", []) + [{"dir": data_dir, "keys": key_cols}]
         if any(e["keys"] != key_cols for e in dels):
             raise ValueError("all delete deltas of a table must share key_cols")
         return self._commit_manifest(m["dirs"], meta or {}, expected_version,

@@ -53,18 +53,25 @@ from scrapy_newsutils_spark.plans.epoch import CrawlEngine
 from scrapy_newsutils_spark.session import get_spark
 
 cpus = int(sys.argv[1]); rows = int(sys.argv[2]); epochs = int(sys.argv[3])
-topk = int(sys.argv[4]); fixdir = sys.argv[5]
+topk = int(sys.argv[4]); fixdir = sys.argv[5]; probe = sys.argv[6]
 # state + shuffle on tmpfs: the sandbox has ONE physical disk, so disk
 # bandwidth would be the (artificial) ceiling at higher thread counts; a
 # real cluster's aggregate disk/shuffle bandwidth grows with executors.
 # Documented in BENCH/BASELINE.md.
+extra = {{"spark.local.dir": f"/dev/shm/spark-local-{{cpus}}"}}
+extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{{}}")))
+# shuffle partitions at a small multiple of cores: with exactly 1 partition
+# per core a single uneven AQE-coalesced partition idles the other cores
+# for the whole stage tail (stage-level parallelism 1.7-2.1 measured in the
+# round-4 event-log audit); 4x gives the scheduler slack to rebalance.
+shuf = cpus * int(os.environ.get("SPARK_GRAFT_SHUF_MULT", "4"))
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus,
-                  extra_conf={{"spark.local.dir": f"/dev/shm/spark-local-{{cpus}}"}})
+                  shuffle_partitions=shuf, extra_conf=extra)
 root = tempfile.mkdtemp(prefix=f"scale{{cpus}}_", dir="/dev/shm")
 images = fixtures.images_table(spark, n=1500, small=True).cache(); images.count()
 eng = CrawlEngine(spark, root, images=images,
-                  robots=fixtures.robots_table(spark), top_k=topk, salts=16)
+                  robots=fixtures.robots_table(spark), top_k=topk, salts=16,
+                  filter_probe=probe)
 # zero-copy bootstrap: adopt the shared pre-generated state (hardlinks)
 eng.frontier_t.adopt_parquet_dir(fixdir + "/frontier", meta={{"epoch": 0}})
 eng.url_seen_t.adopt_parquet_dir(fixdir + "/url_seen", meta={{"epoch": 0}})
@@ -82,14 +89,18 @@ print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": round(wall, 2),
 
 
 def run_level(repo: str, cpus: int, rows: int, epochs: int, topk: int,
-              fixdir: str) -> dict:
+              fixdir: str, probe: str = "store") -> dict:
     code = CHILD.format(repo=repo)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(rows), str(epochs),
-         str(topk), fixdir],
+         str(topk), fixdir, probe],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
+        if line.startswith("TRACE "):
+            # per-step attribution (SPARK_GRAFT_EPOCH_TRACE in the child's
+            # inherited env) — relay so the parent log keeps the evidence
+            print(f"local[{cpus}] {line}", flush=True)
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"level local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
@@ -104,6 +115,13 @@ def main() -> None:
                          "within physical cores (SMT beyond ~8 threads caps the "
                          "hardware itself at ~0.79 efficiency on this box)")
     ap.add_argument("--top-k", type=int, default=20_000)
+    ap.add_argument("--filter-probe", default="store",
+                    choices=["store", "broadcast"],
+                    help="url-seen probe mode for the measured engine; "
+                         "'store' is the 10^10 scale path (mmap bucket "
+                         "files + exact key segments — no per-epoch filter "
+                         "broadcast, no url_seen table scan) and is what "
+                         "the scaling criterion grades")
     ap.add_argument("--json", default=None)
     ap.add_argument("--fixdir", default=None,
                     help="reuse an existing pre-generated fixture dir")
@@ -132,9 +150,9 @@ def main() -> None:
     lo_runs, hi_runs = [], []
     for i in range(args.repeat):
         lo_runs.append(run_level(repo, args.n, args.rows, args.epochs,
-                                 args.top_k, fixdir))
+                                 args.top_k, fixdir, args.filter_probe))
         hi_runs.append(run_level(repo, args.n * 4, args.rows, args.epochs,
-                                 args.top_k, fixdir))
+                                 args.top_k, fixdir, args.filter_probe))
         print(f"repeat {i + 1}/{args.repeat}: N={lo_runs[-1]['wall_sec']}s "
               f"4N={hi_runs[-1]['wall_sec']}s", flush=True)
     def med(runs: list[dict]) -> dict:
