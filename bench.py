@@ -162,6 +162,7 @@ def main() -> None:
         "crawl": crawl,
         "crawl_parse_discovery": crawl_parse,
         "scaling": _embed("scaling.json"),       # scripts/scaling_bench.py
+        "scaling_60m": _embed("scaling_r04c.json"),  # same protocol, 60M shape
         "ivf_scale": _embed("ivf_c4096.json"),   # scripts/ivf_bench.py
     }))
 
