@@ -1,12 +1,11 @@
-"""Merge several full-protocol scaling runs into cumulative best evidence.
+"""Pool several full-protocol scaling runs into one larger sample.
 
-The noisy-host protocol (BENCH/BASELINE.md) estimates each level's
-uncontended capacity as the MINIMUM wall across interleaved fresh-JVM
-repeats. Quiet windows on this shared box are scarce, so multiple
-full-protocol attempts are run across the round; this script folds them
-into one record: per-level min across ALL attempts, with every raw wall
-and its attempt label preserved (nothing is discarded — the merged min is
-exactly what a single longer interleaved run would have produced).
+Pooling repeats from multiple runs of the SAME protocol on the SAME input
+is statistically identical to one longer interleaved run; nothing is
+discarded — every raw wall and its attempt label is preserved. Since
+round 4 the per-level pooled MEDIAN decides pass/fail (one quiet window
+must not carry the result); the per-level pooled min is reported alongside
+as the least-contended capacity estimate (the rounds-1-3 estimator).
 
 Usage: python scripts/merge_scaling.py out.json attempt1.json attempt2.json ...
 """
@@ -28,19 +27,27 @@ def main() -> None:
     h_walls = [(p, w) for p, a in attempts for w in a["4N_all_walls"]]
     n_min_path, n_min = min(n_walls, key=lambda t: t[1])
     h_min_path, h_min = min(h_walls, key=lambda t: t[1])
+
+    def med(walls):
+        s = sorted(w for _, w in walls)
+        return s[(len(s) - 1) // 2]
+
+    n_med, h_med = med(n_walls), med(h_walls)
     popped, fetched = base["N"]["popped"], base["N"]["fetched"]
-    speedup = n_min / h_min
+    speedup = n_med / h_med
     eff = speedup / 4
+    eff_min = (n_min / h_min) / 4
     merged = {
         "protocol": base["protocol"] + (
-            f" ; cumulative min across {len(attempts)} full-protocol "
-            "attempts (per-attempt walls listed)"),
-        "N": {**base["N"], "wall_sec": n_min,
-              "ops_per_sec": round((popped + fetched) / n_min, 1),
-              "min_from": n_min_path},
-        "4N": {**base["4N"], "wall_sec": h_min,
-               "ops_per_sec": round((popped + fetched) / h_min, 1),
-               "min_from": h_min_path},
+            f" ; pooled across {len(attempts)} full-protocol runs "
+            f"({len(n_walls)} walls/level): pooled MEDIAN decides, pooled "
+            "min reported as least-contended capacity"),
+        "N": {**base["N"], "wall_sec": n_med,
+              "ops_per_sec": round((popped + fetched) / n_med, 1),
+              "min_wall_sec": n_min, "min_from": n_min_path},
+        "4N": {**base["4N"], "wall_sec": h_med,
+               "ops_per_sec": round((popped + fetched) / h_med, 1),
+               "min_wall_sec": h_min, "min_from": h_min_path},
         "N_all_walls": [w for _, w in n_walls],
         "4N_all_walls": [w for _, w in h_walls],
         "attempts": {p: {"N_walls": a["N_all_walls"],
@@ -49,14 +56,16 @@ def main() -> None:
                      for p, a in attempts},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_min": round(eff_min, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=2)
     print(json.dumps({"efficiency": merged["scaling_efficiency"],
-                      "pass": merged["pass"],
-                      "N_min": n_min, "4N_min": h_min}))
+                      "efficiency_min": merged["scaling_efficiency_min"],
+                      "pass": merged["pass"], "N_med": n_med,
+                      "4N_med": h_med, "N_min": n_min, "4N_min": h_min}))
 
 
 if __name__ == "__main__":
