@@ -126,3 +126,31 @@ def test_histogram_pop_degenerate_and_tied_priorities(spark, frontier_df):
     b = {(r["url_key"], r["pop_rank"]) for r in
          hist.select("url_key", "pop_rank").collect()}
     assert a == b and len(a) > 0
+
+
+def test_histogram_fixed_grid_bounds_equals_wide(spark, frontier_df):
+    """priority_bounds=(0,1) (the OPIC invariant the epoch loop passes)
+    switches the histogram plan to a fixed global bin grid — one fewer
+    input scan — and must stay row+rank identical to the wide plan,
+    including degenerate hosts (all priorities equal → one global bin →
+    whole host survives, exact rank decides) and tie bands straddling the
+    k-th boundary."""
+    from pyspark.sql import functions as F
+
+    from scrapy_newsutils_spark.operators import frontier as fops
+
+    def keys(df):
+        return {(r["url_key"], r["pop_rank"]) for r in
+                df.select("url_key", "pop_rank").collect()}
+
+    flat = frontier_df.withColumn(
+        "priority",
+        F.when(F.col("host") == "hot1.example.com", F.lit(0.5))
+        .otherwise(F.round(F.col("priority") * 4) / 4))
+    for df in (frontier_df, flat):
+        wide = fops.pop_top_k_per_host(df, 7, salts=4, narrow=False)
+        grid = fops.pop_top_k_per_host(df, 7, salts=4, strategy="histogram",
+                                       priority_bounds=(0.0, 1.0))
+        a, b = keys(wide), keys(grid)
+        assert a == b and len(a) > 0
+        assert set(grid.columns) == set(df.columns) | {"pop_rank"}
