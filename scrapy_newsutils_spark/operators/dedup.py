@@ -748,11 +748,16 @@ def tag_by_filter_store(spark: SparkSession, batch: DataFrame,
     # partition count decoupled from the bucket count: a small store (few
     # buckets) must not force fewer tasks than cores — P=5 buckets on 4
     # cores ran a straggler wave at parallelism 2.1 in the round-4 stage
-    # audit. Any count is CORRECT (each task groups its keys by bucket and
-    # loads each bucket file at most once, mmap-shared across tasks); the
-    # modulus keys a partition to ~1 bucket so per-task loads stay few.
+    # audit. The count is a MULTIPLE of P (round ceil(2·cores/P) up, capped
+    # at 4096): pmod(key, m·P) ≡ pmod(key, P) (mod P), so each partition's
+    # keys land in exactly ONE bucket and each task loads one filter file.
+    # The round-4 `max(P, 2*par)` could be misaligned (P=100, 64 cores →
+    # n_parts=128 → 25 buckets/task, each np.load'ing 25 full filters —
+    # ADVICE r4). Any count is CORRECT (gen groups keys by bucket); the
+    # alignment only bounds per-task loads. P > 4096 degenerates to P.
     par = spark.sparkContext.defaultParallelism
-    n_parts = min(max(P, 2 * par), 4096)
+    mult = -(-2 * par // P)  # ceil(2·par / P)
+    n_parts = P * min(max(mult, 1), max(4096 // P, 1))
     routed = batch.repartition(n_parts, F.pmod(F.col(key), F.lit(n_parts)))
     return routed.mapInPandas(gen, out_schema)
 

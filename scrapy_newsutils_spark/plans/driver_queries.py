@@ -1117,6 +1117,105 @@ WHERE len(string_split(text, ' ')) >= 20
 
 
 # ---------------------------------------------------------------------------
+# streaming composition (T1/T5/U8)
+
+def q_stream_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming composition under oracle (VERDICT r4 #4): URL
+    drops → ``run_crawl_stream`` (availableNow micro-batches: dedup →
+    politeness → fetch join → commit fetched+url_seen → parse → posts
+    pipeline → partitioned MERGE, all inside one ``foreachBatch`` with
+    per-table replay guards) → per-day aggregate over the committed posts
+    table. Inputs are the same closed-form HTML pages as
+    ``crawl_compose_stats`` (fixtures.html_pages_from_docs), so the DuckDB
+    twin reconstructs every aggregate straight from ``documents`` — it
+    agrees only if the streaming path (micro-batch splitting, URL-seen
+    state, politeness, payload fetch, parse, presets, MERGE idempotence)
+    is lossless and exactly-once end to end. The tiny aggregate is
+    materialized into a local DataFrame so the state tempdir can be
+    removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import fixtures, schemas
+    from ..functions import urls as url_fns
+    from ..operators import pipeline
+    from ..sources.snapshot_table import SnapshotTable
+    from ..streaming import stream as ST
+
+    m = 200
+    src = "https://news.example.com"
+    docs = _docs(spark, sf_dir)
+    pages = fixtures.html_pages_from_docs(docs, m, src)
+    i_expr = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    payloads = pages.select(
+        F.format_string("pg-%d", i_expr).alias("image_id"),
+        F.encode("html", "UTF-8").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit("html").alias("fmt"),
+        F.format_string("caption %d", i_expr).alias("caption"),
+        i_expr.alias("phash"),
+    )
+    robots = spark.createDataFrame(
+        [("news.example.com", 0, [], 64)], schema=schemas.ROBOTS)
+    drops = url_fns.with_url_identity(pages.select("url")).select(
+        "url", "url_surt", "url_key", "host",
+        F.lit(1.0).alias("priority"), F.lit(0).alias("depth"),
+        F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("discovered_ts"),
+        F.format_string("pg-%d", i_expr).alias("image_id"),
+        F.lit(0).alias("epoch_added"),
+    ).select([f.name for f in schemas.FRONTIER.fields])
+
+    root = tempfile.mkdtemp(prefix="stream_compose_")
+    try:
+        drop_dir = os.path.join(root, "drops")
+        # >8 files at maxFilesPerTrigger=8 → the run spans SEVERAL
+        # micro-batches; the aggregate is only right if the per-batch
+        # commits compose (url_seen state + idempotent MERGE across batches)
+        drops.repartition(24).write.mode("overwrite").parquet(drop_dir)
+        posts_t = SnapshotTable(os.path.join(root, "posts"), schemas.POSTS)
+        dates = pipeline.parse_dates("2024-03-01", "2024-03-06")
+        q = ST.run_crawl_stream(
+            spark, drop_dir, os.path.join(root, "state"), payloads, robots,
+            posts_t, dates, src, checkpoint=os.path.join(root, "ckpt"),
+            available_now=True)
+        q.awaitTermination(timeout=600)
+        agg = (
+            posts_t.read(spark)
+            .groupBy(F.to_date("publish_time").alias("day"))
+            .agg(
+                F.count("*").alias("n_posts"),
+                F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_words"),
+                F.countDistinct("top_image").alias("n_top_images"),
+                F.countDistinct(F.element_at("authors", 1))
+                .alias("n_authors"),
+            )
+            .orderBy("day")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_COMPOSE = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(DATE '2024-03-01' + CAST(doc_id % 5 AS INT) AS DATE) AS day,
+         text
+  FROM documents WHERE doc_id < 200
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_posts,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_top_images,
+       CAST(COUNT(DISTINCT doc_id % 7) AS BIGINT) AS n_authors
+FROM r GROUP BY day ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, tuple] = {
@@ -1126,6 +1225,7 @@ QUERIES: dict[str, tuple] = {
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS),
     "edit_classify": (q_edit_classify, SQL_EDIT_CLASSIFY),
     "crawl_compose_stats": (q_crawl_compose, SQL_CRAWL_COMPOSE),
+    "stream_compose_stats": (q_stream_compose, SQL_STREAM_COMPOSE),
     # dedup family
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH),

@@ -195,9 +195,12 @@ class SnapshotTable:
         would refuse the non-empty base: pass ``part_expr`` (same expression
         the merges use) and the append writes one ``_pv=...`` dir per touched
         value; omitting it raises instead of silently bricking later merges
-        (the round-2 latent contract bug)."""
+        (the round-2 latent contract bug). Passing ``part_expr`` to an EMPTY
+        table establishes the partition layout from the first append — an
+        append-only table (streaming fetched, partitioned on epoch) never
+        goes through a merge, so the layout has to start somewhere."""
         m = self.manifest()
-        if m.get("part_dirs"):
+        if m.get("part_dirs") or (part_expr is not None and not m["dirs"]):
             if part_expr is None:
                 raise ValueError(
                     "append to a partitioned table requires part_expr= (the "

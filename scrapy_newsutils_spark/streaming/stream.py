@@ -75,7 +75,12 @@ def process_fetch_batch(batch: DataFrame, batch_id: int,
     if not fetched_done:
         fetched = fetch_ops.execute_fetches(polite, images, epoch=batch_id) \
             .unionByName(fetch_ops.denied_rows(polite, epoch=batch_id))
-        fetched_t.append(fetched, meta={"last_batch": batch_id})
+        # partition on epoch so the composition's posts stage reads ONE
+        # epoch dir via manifest pruning instead of filtering the whole
+        # (append-mostly, ever-growing) table — the same treatment the
+        # day-partitioned posts table got in round 4 (VERDICT r4 #8)
+        fetched_t.append(fetched, meta={"last_batch": batch_id},
+                         part_expr="epoch")
     if not seen_done:
         url_seen_t.append(
             dedup.seen_updates(
@@ -133,8 +138,10 @@ def process_crawl_stream_batch(batch: DataFrame, batch_id: int,
     (its own keys are now seen), so deriving pages from it would silently
     lose the batch's posts; the fetched table still has them. The MERGE is
     keyed on post_id (idempotent) and stamps ``last_batch`` so a fully
-    committed batch replays as a no-op. The epoch == batch_id predicate
-    reaches parquet as a row-group min/max prune (plain int column)."""
+    committed batch replays as a no-op. The fetched table is PARTITIONED on
+    epoch, so this read lists only the batch's own dirs (manifest partition
+    pruning — VERDICT r4 #8); the residual epoch predicate still reaches
+    parquet as a row-group min/max prune, belt-and-braces."""
     process_fetch_batch(batch, batch_id, url_seen_t, fetched_t, images,
                         robots)
     if int(posts_table.manifest()["meta"].get("last_batch", -1)) >= batch_id:
@@ -143,7 +150,7 @@ def process_crawl_stream_batch(batch: DataFrame, batch_id: int,
 
     spark = batch.sparkSession
     pages = (
-        fetched_t.read(spark)
+        fetched_t.read(spark, partitions=[str(batch_id)])
         .where((F.col("epoch") == batch_id) & (F.col("status") == "ok") &
                (F.col("fmt") == "html") & F.col("bytes").isNotNull())
         .select("url", F.col("bytes").cast("string").alias("html"))

@@ -262,3 +262,96 @@ def test_parse_discovery_resume_identical(spark, tmp_path):
         kb = sorted(r["url_key"] for r in
                     getattr(b2, attr).read(spark).select("url_key").collect())
         assert ka == kb, attr
+
+
+# -- frontier-membership filter sidecar (store mode, VERDICT r4 #1) -------------
+
+def _run_disco(spark, root, frontier_df, images_df, robots_df, seen_df,
+               probe, epochs=3, **over):
+    eng = CrawlEngine(spark, root, images=images_df, robots=robots_df,
+                      top_k=4, salts=4, filter_probe=probe,
+                      filter_cap_per_bucket=300,
+                      discovery_fanout=3, discovery_images=200, **over)
+    eng.bootstrap(frontier_df, seen_df)
+    eng.run(epochs)
+    return eng
+
+
+def test_discovery_store_mode_matches_broadcast(spark, tmp_path, frontier_df,
+                                                images_df, robots_df,
+                                                url_seen_df):
+    """Store mode's frontier-membership sidecar (filter probe instead of the
+    anti-join against the full frontier key set) must reproduce the
+    broadcast engine's state EXACTLY — including post-compaction priorities,
+    which fold the lazily-queued OPIC cash (the sidecar's stale-present
+    keys route dead cash into cash_t; compaction's left join must drop it)."""
+    a = _run_disco(spark, str(tmp_path / "a"), frontier_df, images_df,
+                   robots_df, url_seen_df, "broadcast", compact_every=2)
+    b = _run_disco(spark, str(tmp_path / "b"), frontier_df, images_df,
+                   robots_df, url_seen_df, "store", compact_every=2)
+    for attr in ("frontier_t", "url_seen_t", "fetched_t"):
+        ka = sorted(r["url_key"] for r in
+                    getattr(a, attr).read(spark).select("url_key").collect())
+        kb = sorted(r["url_key"] for r in
+                    getattr(b, attr).read(spark).select("url_key").collect())
+        assert ka == kb, attr
+    pa = sorted((r["url_key"], round(r["priority"], 9)) for r in
+                a.frontier_t.read(spark).collect())
+    pb = sorted((r["url_key"], round(r["priority"], 9)) for r in
+                b.frontier_t.read(spark).collect())
+    assert pa == pb
+
+
+def test_discovery_sidecar_probe_no_frontier_scan(spark, tmp_path,
+                                                  frontier_df, images_df,
+                                                  robots_df, url_seen_df):
+    """The discovery dedup's physical plan must not scan the frontier table
+    (round 4's anti-join shuffled ALL frontier keys per epoch). Probe the
+    sidecar with outlinks covering live keys, popped keys, and brand-new
+    keys: (a) inputFiles() lists no frontier data files; (b) exactness —
+    no live frontier key reads 'new', and every 'maybe' is either live or
+    url_seen (the stale-present equivalence the design relies on)."""
+    eng = _run_disco(spark, str(tmp_path / "s"), frontier_df, images_df,
+                     robots_df, url_seen_df, "store", epochs=2)
+    live = {r["url_key"] for r in
+            eng.frontier_t.read(spark).select("url_key").collect()}
+    seen = {r["url_key"] for r in
+            eng.url_seen_t.read(spark).select("url_key").collect()}
+    popped = sorted(seen - live)[:20]
+    probe_keys = sorted(live)[:20] + popped + [10**15 + i for i in range(20)]
+    out = spark.createDataFrame([(int(k),) for k in probe_keys],
+                                "url_key long")
+    tagged = dedup.tag_by_filter_store(
+        spark, out, eng._frontier_filter_dir(), exact=True)
+    assert not any("/frontier/" in f for f in tagged.inputFiles())
+    got = {r["url_key"]: r["_maybe"] for r in tagged.collect()}
+    for k in probe_keys:
+        if k in live:
+            assert got[k], f"live frontier key {k} read as new"
+        if got[k]:
+            assert k in live or k in seen, \
+                f"maybe-key {k} neither live nor seen"
+    for k in probe_keys[-20:]:  # brand-new keys must read definitely-new
+        assert not got[k]
+
+
+def test_discovery_store_resume_identical(spark, tmp_path, frontier_df,
+                                          images_df, robots_df, url_seen_df):
+    """Kill/resume with the frontier sidecar active: the resumed engine
+    rebuilds the sidecar from the table and converges to the uninterrupted
+    run (epoch-stamped segment recovery + deterministic replay)."""
+    a = _run_disco(spark, str(tmp_path / "ra"), frontier_df, images_df,
+                   robots_df, url_seen_df, "store", epochs=3)
+    b = _run_disco(spark, str(tmp_path / "rb"), frontier_df, images_df,
+                   robots_df, url_seen_df, "store", epochs=1)
+    b2 = CrawlEngine(spark, str(tmp_path / "rb"), images=images_df,
+                     robots=robots_df, top_k=4, salts=4,
+                     filter_probe="store", filter_cap_per_bucket=300,
+                     discovery_fanout=3, discovery_images=200)
+    b2.run(2)
+    for attr in ("frontier_t", "url_seen_t", "fetched_t"):
+        ka = sorted(r["url_key"] for r in
+                    getattr(a, attr).read(spark).select("url_key").collect())
+        kb = sorted(r["url_key"] for r in
+                    getattr(b2, attr).read(spark).select("url_key").collect())
+        assert ka == kb, attr

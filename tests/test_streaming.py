@@ -83,10 +83,10 @@ def test_crash_between_appends_replays_url_seen(spark, tmp_path, images_df,
 
     real_append = SnapshotTable.append
 
-    def dying_append(self, df, meta=None, expected_version=None):
+    def dying_append(self, df, meta=None, expected_version=None, **kw):
         if self.path == url_seen_t.path:
             raise Boom()
-        return real_append(self, df, meta, expected_version)
+        return real_append(self, df, meta, expected_version, **kw)
 
     SnapshotTable.append = dying_append
     try:
@@ -264,3 +264,33 @@ def test_crawl_stream_kill_before_posts_merge_exactly_once(spark, tmp_path):
     assert posts.count() == posts.select("post_id").distinct().count()
     fetched = fetched_t.read(spark)
     assert fetched.count() == fetched.select("url_key").distinct().count()
+
+
+def test_crawl_stream_posts_stage_prunes_fetched_partitions(spark, tmp_path):
+    """VERDICT r4 #8: the streaming fetched table is partitioned on epoch,
+    so the posts stage's committed-pages read lists ONLY the batch's own
+    dirs (manifest partition pruning), never the whole append-mostly
+    table."""
+    n = 40
+    images, robots = _article_world(spark, n), _article_robots(spark)
+    posts_t = SnapshotTable(str(tmp_path / "posts"), schemas.POSTS)
+    q = _run_crawl_stream(spark, str(tmp_path / "run"), images, robots,
+                          posts_t, n)
+    q.awaitTermination(timeout=300)
+
+    fetched_t = SnapshotTable(str(tmp_path / "run" / "state" / "fetched"),
+                              schemas.FETCHED)
+    layout = fetched_t.partition_layout()
+    assert len(layout) > 1, "drops should span several micro-batches"
+    bid = sorted(layout, key=int)[0]
+    own = set(layout[bid])
+    other = {d for pv, ds in layout.items() if pv != bid for d in ds}
+    df = fetched_t.read(spark, partitions=[bid])
+    files = df.inputFiles()
+    assert files
+    for f in files:
+        assert any(f"/{d}/" in f for d in own), f
+        assert not any(f"/{dd}/" in f for dd in other), f
+    # pruned read == full read filtered on epoch
+    full = fetched_t.read(spark).where(F.col("epoch") == int(bid))
+    assert df.count() == full.count() > 0
