@@ -156,9 +156,9 @@ def main() -> None:
         with open(p) as f:
             d = json.load(f)
         keep = ("scaling_efficiency", "scaling_efficiency_min", "pass",
-                "target", "speedup", "protocol_rows", "recall_at_10",
-                "fit_sec", "probe_sec", "brute_sec", "scan_fraction",
-                "n_centroids")
+                "target", "speedup", "rows", "recall_at_k", "fit_fraction",
+                "fit_wall_sec", "probe_wall_sec", "bruteforce_wall_sec",
+                "scan_fraction", "centroids")
         out = {k: d[k] for k in keep if k in d}
         for lvl in ("N", "4N"):
             if isinstance(d.get(lvl), dict):

@@ -495,6 +495,48 @@ def build_partitioned(seen: DataFrame, key: str = "url_key",
     return pf
 
 
+def merge_sorted_unique(segs: list, chunk: int = 4_000_000) -> np.ndarray:
+    """K-way merge of sorted-unique int64 arrays into one sorted-unique
+    array, with bounded working memory: inputs stay mmap'd (compaction
+    round-4 ``np.load``-ed all 16 segments of a bucket resident —
+    ~3× bucket bytes peak at 25M-key buckets, GB-scale per task — ADVICE
+    r4 #7), and each round materializes only the rows at or below a
+    boundary key taken ``chunk`` ahead per segment. Peak = the output
+    (unavoidable: np.save needs one contiguous array) + O(k·chunk)
+    transient — ~1× merged bytes instead of ~3×."""
+    segs = [s for s in segs if len(s)]
+    if not segs:
+        return np.empty(0, dtype=np.int64)
+    total = sum(len(s) for s in segs)
+    out = np.empty(total, dtype=np.int64)  # upper bound (pre-dedup)
+    pos = [0] * len(segs)
+    n = 0
+    while True:
+        active = [i for i in range(len(segs)) if pos[i] < len(segs[i])]
+        if not active:
+            break
+        # boundary = min over active segments of the key `chunk` ahead —
+        # every element ≤ boundary across ALL segments is mergeable now
+        bound = min(segs[i][min(pos[i] + chunk, len(segs[i])) - 1]
+                    for i in active)
+        pieces = []
+        for i in active:
+            s = segs[i]
+            hi = int(np.searchsorted(s, bound, side="right"))
+            hi = max(hi, pos[i])
+            if hi > pos[i]:
+                pieces.append(np.asarray(s[pos[i]:hi], dtype=np.int64))
+                pos[i] = hi
+        if not pieces:  # defensive: boundary below every cursor
+            break
+        m = np.unique(np.concatenate(pieces))
+        if n and m.size and out[n - 1] == m[0]:  # dedup across rounds
+            m = m[1:]
+        out[n:n + m.size] = m
+        n += m.size
+    return out[:n]
+
+
 class FilterStore:
     """Per-bucket filter persistence: one ``.npz`` per bucket plus a JSON
     meta file under a directory (shared storage on a real cluster: HDFS/S3
@@ -615,9 +657,8 @@ class FilterStore:
             return
         old = self.seg_paths(bv)
         if len(old) >= self.SEG_COMPACT_N:
-            segs = [np.load(p) for p in old]
-            merged = np.unique(np.concatenate(segs)) if segs else \
-                np.empty(0, dtype=np.int64)
+            merged = merge_sorted_unique([np.load(p, mmap_mode="r")
+                                          for p in old])
             max_seq = max(int(p.rsplit("keys-", 1)[1][:-4]) for p in old)
             self.save_key_segment(bv, max_seq, merged)
             for p in old:

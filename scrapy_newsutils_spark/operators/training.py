@@ -429,19 +429,32 @@ def _assign_centroid_udf(centroids: np.ndarray):
 
 def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
                       iters: int = 2, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> np.ndarray:
+                      vec_col: str = "embedding",
+                      fit_fraction: float | None = None) -> np.ndarray:
     """Deterministic IVF codebook: seed with the ``n_centroids`` lowest-id
     vectors, refine with ``iters`` Lloyd rounds. Each round is one
     distributed assign (Arrow matmul) + one groupBy mean over posexploded
     components — only the C×dim codebook (KBs) ever reaches the driver.
     Deterministic end to end: seed choice is id-ordered and the mean is
-    order-independent, so re-fits reproduce bit-identical codebooks."""
-    seed_rows = (emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    order-independent, so re-fits reproduce bit-identical codebooks.
+
+    ``fit_fraction``: run the Lloyd rounds over a seeded deterministic
+    sample (``df.sample(fraction, seed=42)`` — standard k-means practice:
+    codebook quality depends on the cluster geometry, which a sample
+    preserves, not on corpus size). Fit cost drops from O(iters × corpus)
+    to O(iters × fraction·corpus) — the full-corpus fit was the one
+    remaining O(corpus)-per-iteration term in the ANN family at 10^10
+    vectors (VERDICT r4 #6); the full corpus is still assigned exactly
+    once at probe time."""
+    fit = emb
+    if fit_fraction is not None and 0 < fit_fraction < 1.0:
+        fit = emb.sample(fraction=fit_fraction, seed=42).cache()
+    seed_rows = (fit.orderBy(F.col(id_col).asc()).limit(n_centroids)
                  .select(vec_col).collect())
     centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
     for _ in range(iters):
         assign = _assign_centroid_udf(centroids)
-        assigned = emb.select(F.col(vec_col).alias("v"),
+        assigned = fit.select(F.col(vec_col).alias("v"),
                               assign(F.col(vec_col)).alias("cid"))
         means = (
             assigned.select("cid", F.posexplode("v").alias("j", "x"))
@@ -453,6 +466,8 @@ def ivf_fit_centroids(emb: DataFrame, dim: int, n_centroids: int = 16,
         )
         for r in means:  # empty cells keep their previous centroid
             centroids[r["cid"]] = np.asarray(r["mu"], dtype=np.float64)
+    if fit is not emb:
+        fit.unpersist()
     return centroids
 
 
@@ -461,7 +476,8 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_id: str = "q_id", q_vec: str = "q_vec",
                  centroids: np.ndarray | None = None,
-                 cos_round: int = 6) -> DataFrame:
+                 cos_round: int = 6,
+                 fit_fraction: float | None = None) -> DataFrame:
     """IVF ANN: corpus partitioned into ``n_centroids`` Voronoi cells, each
     query probes its ``n_probe`` nearest cells — the scan is |corpus|·p/C
     instead of |corpus|. The equi-join on cell id is the only shuffle; the
@@ -470,7 +486,8 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     schema as ``ann_bruteforce_topk``/``ann_lsh_topk``."""
     if centroids is None:
         centroids = ivf_fit_centroids(emb, dim, n_centroids, iters,
-                                      id_col, vec_col)
+                                      id_col, vec_col,
+                                      fit_fraction=fit_fraction)
     c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     assign = _assign_centroid_udf(centroids)
     e = emb.withColumn("cid", assign(F.col(vec_col)))

@@ -1,6 +1,7 @@
 """IVF ANN at realistic codebook size (VERDICT r3 #5): fit C=4096 centroids
-over a deterministic clustered vector table, then probe — reporting fit
-wall, probe wall, and recall@k vs the brute-force baseline.
+over a deterministic clustered vector table (sampled Lloyd by default —
+VERDICT r4 #6), then probe — reporting fit wall, probe wall, and recall@k
+vs the brute-force baseline.
 
 The corpus is generated DISTRIBUTED (fixtures.clustered_embeddings, each
 row a pure function of its id) so the same script measures the same
@@ -42,6 +43,11 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=100)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--fit-fraction", type=float, default=0.1,
+                    help="Lloyd rounds run over df.sample(fraction, seed=42)"
+                         " — the 10^10-vector fit path (VERDICT r4 #6); the"
+                         " full corpus is assigned once at probe time. Pass"
+                         " 1.0 for the full-corpus fit baseline")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -52,7 +58,8 @@ def main() -> None:
 
     t0 = time.time()
     centroids = training.ivf_fit_centroids(
-        emb, dim=args.dim, n_centroids=args.centroids, iters=args.iters)
+        emb, dim=args.dim, n_centroids=args.centroids, iters=args.iters,
+        fit_fraction=args.fit_fraction if args.fit_fraction < 1.0 else None)
     fit_wall = time.time() - t0
 
     queries = (emb.where(F.col("vec_id") < args.n_queries)
@@ -80,6 +87,7 @@ def main() -> None:
         "rows": args.rows, "dim": args.dim, "centroids": args.centroids,
         "iters": args.iters, "n_probe": args.n_probe, "k": args.k,
         "n_queries": args.n_queries, "cpus": args.cpus,
+        "fit_fraction": args.fit_fraction,
         "fit_wall_sec": round(fit_wall, 2),
         "probe_wall_sec": round(probe_wall, 2),
         "bruteforce_wall_sec": round(brute_wall, 2),
