@@ -168,10 +168,14 @@ def main() -> None:
     result = {
         "protocol": f"same job, same input ({args.rows} frontier rows, "
                     f"{args.epochs} timed epochs), fresh JVM per level, "
-                    f"{args.repeat} interleaved repeats per level; per-level "
-                    f"MEDIAN decides pass/fail (noisy-host protocol — one "
-                    f"quiet window must not carry the result), per-level min "
-                    f"reported as least-contended capacity",
+                    f"{args.repeat} interleaved repeats per level; repeat "
+                    f"count FIXED IN ADVANCE (pre-registered — no outcome-"
+                    f"dependent stopping; the round-4 240M pool added "
+                    f"repeats after seeing a FAIL, which biases a "
+                    f"median-decides estimator), per-level MEDIAN decides "
+                    f"pass/fail (noisy-host protocol — one quiet window "
+                    f"must not carry the result), per-level min reported "
+                    f"as least-contended capacity",
         "N": lo, "4N": hi,
         "N_all_walls": [r["wall_sec"] for r in lo_runs],
         "4N_all_walls": [r["wall_sec"] for r in hi_runs],
