@@ -237,8 +237,40 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # duplicate clustering: pairs → components → canonical keeper
 
+LOCAL_CC_MAX_EDGES = 100_000
+
+
+def _local_components(spark, edge_rows) -> DataFrame:
+    """Union-find over a collected edge list (≤ LOCAL_CC_MAX_EDGES × two
+    longs — a 'tiny aggregate' by the engine's driver-collect budget).
+    Roots are kept as the minimum member id, so the output is identical to
+    the distributed fixpoint: (node, component=min reachable id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            hi, lo = (ru, rv) if ru > rv else (rv, ru)
+            parent[hi] = lo
+    nodes = set()
+    for u, v in edge_rows:
+        nodes.add(u)
+        nodes.add(v)
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
-                         b_col: str = "b", max_iter: int = 30) -> DataFrame:
+                         b_col: str = "b", max_iter: int = 30,
+                         local_max_edges: int | None = None) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id reachable from it. Transitive closure of the
     near-dup relation: A≈B and B≈C must dedup as ONE group even when A≉C
@@ -253,7 +285,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     localCheckpoint (a checkpoint dir on a real cluster) so the plan does
     not grow with iterations. Convergence = canonical edge-set (count,
     xxhash64-sum) fixpoint — a content check, not a plan diff.
+
+    Scale-adaptive gate (guide §1.2 'the distributed algorithm' + the
+    accepted tiny-collect budget): after the canonical edge set is
+    materialized, if it holds ≤ ``local_max_edges`` edges (default
+    LOCAL_CC_MAX_EDGES = 1e5 ≈ 1.6 MB of longs) the fixpoint is solved as
+    one driver-side union-find instead of O(log n) rounds of 2-action
+    Spark jobs — each distributed round costs ~1 s of scheduling on a
+    graph this small while the union-find is microseconds. Same output by
+    construction (min-id roots); parity-tested both paths in
+    test_training_ops. Larger graphs take the distributed rounds
+    unchanged.
     """
+    if local_max_edges is None:
+        local_max_edges = LOCAL_CC_MAX_EDGES
     E = (pairs.select(F.col(a_col).cast("long").alias("u"),
                       F.col(b_col).cast("long").alias("v"))
          .where(F.col("u") != F.col("v"))
@@ -291,6 +336,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         return self_e.unionAll(nbr_e).distinct()
 
     E = E.localCheckpoint(eager=True)
+    if local_max_edges > 0 and E.count() <= local_max_edges:
+        rows = [(r["u"], r["v"]) for r in E.collect()]
+        return _local_components(pairs.sparkSession, rows)
     sig = _sig(E)
     for _ in range(max_iter):
         E = small_star(large_star(E)).localCheckpoint(eager=True)
@@ -332,21 +380,102 @@ def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     return dot / (_norm_expr(a) * _norm_expr(b))
 
 
+def _gram_pairs_fn(thr: float, same_cap: int = 1 << 25):
+    """applyInPandas kernel for one (block, chunk_i, chunk_j) pair-group:
+    BLAS Gram product over the two chunks' vectors, emit (a, b, cos_raw)
+    for cos ≥ ``thr``. Row-sliced so no slice materializes more than
+    ``same_cap`` Gram cells (bounded task memory at any chunk size)."""
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        nrm = np.maximum(nrm, 1e-300)
+        bi = int(pdf["_bi"].iat[0])
+        bj = int(pdf["_bj"].iat[0])
+        if bi == bj:
+            a_ids, A, na = ids, M, nrm
+            b_ids, B, nb = ids, M, nrm
+        else:
+            sel = pdf["_c"].to_numpy() == bi
+            a_ids, A, na = ids[sel], M[sel], nrm[sel]
+            b_ids, B, nb = ids[~sel], M[~sel], nrm[~sel]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "_cos": np.array([], dtype=np.float64)})
+        out_a, out_b, out_c = [], [], []
+        step = max(1, same_cap // max(len(b_ids), 1))
+        col = np.arange(len(b_ids))
+        for s in range(0, len(a_ids), step):
+            e = min(s + step, len(a_ids))
+            C = (A[s:e] @ B.T) / (na[s:e, None] * nb[None, :])
+            keep = C >= thr
+            if bi == bj:
+                # positional upper triangle: pair (i, j) once, i < j
+                keep &= col[None, :] > np.arange(s, e)[:, None]
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                ai = a_ids[ii + s]
+                bji = b_ids[jj]
+                out_a.append(np.minimum(ai, bji))
+                out_b.append(np.maximum(ai, bji))
+                out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "_cos": np.array([], dtype=np.float64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "_cos": np.concatenate(out_c)})
+
+    return gram
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         cos_min: float = 0.95,
-                        block_col: str | None = "label") -> DataFrame:
+                        block_col: str | None = "label",
+                        n_chunks: int = 8,
+                        cos_round: int = 6) -> DataFrame:
     """Embedding-cosine near-dup pairs. Blocked on ``block_col`` when given
-    (cluster/label blocking); falls back to full self-join otherwise —
-    at scale the block column comes from an LSH bucket (see ann_lsh)."""
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                   *( [F.col(block_col)] if block_col else [] ))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                   *( [F.col(block_col)] if block_col else [] ))
-    j = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    (cluster/label blocking); treated as ONE block otherwise — at scale the
+    block column comes from an LSH bucket (see ann_lsh).
+
+    Physical plan (guide §4.2): instead of a blocked self-join evaluating an
+    interpreted ``aggregate(zip_with(...))`` cosine per candidate pair (3
+    array lambdas × dim per pair — 290 s at 20M pairs in round-5 bench),
+    each block is split into ``n_chunks`` id-keyed chunks, every row is
+    exploded to its K chunk-pair groups, and one applyInPandas kernel per
+    (block, ci, cj) group computes the pairwise cosines as a single BLAS
+    Gram product. Shuffle = K× the (pruned) vector bytes — never the
+    pairs; task memory is bounded by the chunk size and the kernel's
+    row-slicing, so a hot block parallelizes over K(K+1)/2 tasks instead
+    of serializing into one. The kernel pre-filters at
+    ``cos_min − 0.5·10^−cos_round − 1e−9``; the exact
+    ``round(cos, cos_round) ≥ cos_min`` filter stays JVM-side, so the
+    emitted values and threshold semantics are identical to the join
+    formulation (parity-tested in test_training_ops)."""
+    blk = F.col(block_col) if block_col else F.lit(0)
+    K = int(n_chunks)
+    chunked = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        blk.alias("_blk"),
+        F.pmod(F.col(id_col), F.lit(K)).cast("int").alias("_c"))
+    pair_structs = F.array(*[
+        F.struct(F.least(F.col("_c"), F.lit(d)).alias("bi"),
+                 F.greatest(F.col("_c"), F.lit(d)).alias("bj"))
+        for d in range(K)])
+    exploded = chunked.select(
+        "_id", "_v", "_blk", "_c", F.explode(pair_structs).alias("_p"),
+    ).select("_id", "_v", "_blk", "_c",
+             F.col("_p.bi").alias("_bi"), F.col("_p.bj").alias("_bj"))
+    thr = float(cos_min) - 0.5 * 10.0 ** (-int(cos_round)) - 1e-9
+    pairs = exploded.groupBy("_blk", "_bi", "_bj").applyInPandas(
+        _gram_pairs_fn(thr), "a long, b long, _cos double")
     return (
-        j.where(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        pairs.where(F.col("a") < F.col("b"))  # degenerate dup-id guard
+        .withColumn("cos", F.round(F.col("_cos"), int(cos_round)))
         .where(F.col("cos") >= cos_min)
         .select("a", "b", "cos")
     )

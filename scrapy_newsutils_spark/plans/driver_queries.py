@@ -501,18 +501,17 @@ SELECT q_id, neighbor_id, rank FROM scored WHERE rank <= 5
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked embedding near-dup pairs at cos ≥ 0.35 (blocking column
     stands in for an LSH bucket at scale; the synthetic vectors top out near
-    cos ≈ 0.47 within a label, so 0.35 captures the real near-dup tail)."""
+    cos ≈ 0.47 within a label, so 0.35 captures the real near-dup tail).
+    Runs through the SHIPPED ``training.embedding_near_dups`` (chunked BLAS
+    Gram plan — guide §4.2): identical pairs/values to the r5 blocked
+    self-join + aggregate(zip_with) cosine, ~100× cheaper per pair (the
+    round-5 bench spent 290 s of 332 s here at sf1.0)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "label")
-    return (
-        a.join(b, "label")
-        .where(F.col("a") < F.col("b"))
-        .withColumn("cos4", F.round(training.cosine_expr(F.col("va"), F.col("vb")), 4))
-        .where(F.col("cos4") >= 0.35)
-        .select("a", "b", "cos4")
-    )
+    out = training.embedding_near_dups(emb, id_col="vec_id",
+                                       vec_col="embedding", cos_min=0.35,
+                                       block_col="label", cos_round=4)
+    return out.select("a", "b", F.col("cos").alias("cos4"))
 
 
 SQL_EMBEDDING_NEAR_DUPS = """

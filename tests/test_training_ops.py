@@ -372,3 +372,58 @@ def test_ivf_sampled_fit_keeps_recall(spark):
                                        iters=1, fit_fraction=0.1)
     assert np.array_equal(centroids, again)
     emb.unpersist(); queries.unpersist()
+
+
+def test_connected_components_local_vs_distributed_parity(spark):
+    """r6 optimization: the tiny-graph union-find fast path must produce
+    exactly the distributed star-algorithm fixpoint (same (node, component)
+    set), including chains, islands, dups and self-loops."""
+    rows = ([(int(i), int((i * 6007 + 5) % 97)) for i in range(150)]
+            + [(i, i + 1) for i in range(1000, 1012)]   # chain
+            + [(7, 7), (2000, 3000), (3000, 2000)])     # self-loop + dup
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    local = training.connected_components(pairs)           # gate engages
+    dist = training.connected_components(pairs, local_max_edges=0)
+    lrows = {(r["node"], r["component"]) for r in local.collect()}
+    drows = {(r["node"], r["component"]) for r in dist.collect()}
+    assert lrows == drows
+    assert len(lrows) > 0
+
+
+def test_embedding_near_dups_matches_join_formulation(spark):
+    """r6 optimization: the chunked BLAS Gram plan must emit exactly the
+    pairs/values of the r5 blocked self-join + aggregate(zip_with) cosine
+    (same rounding, same threshold semantics), on clustered vectors with
+    labels and on block_col=None."""
+    from scrapy_newsutils_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, 600, dim=16,
+                                        n_labels=6).cache()
+    emb = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("embedding"),
+                     "label")
+
+    def old_formulation(e, cos_min, block_col, nd):
+        a = e.select(F.col("vec_id").alias("a"),
+                     F.col("embedding").alias("va"),
+                     *([F.col(block_col)] if block_col else []))
+        b = e.select(F.col("vec_id").alias("b"),
+                     F.col("embedding").alias("vb"),
+                     *([F.col(block_col)] if block_col else []))
+        j = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+        return (j.where(F.col("a") < F.col("b"))
+                .withColumn("cos", F.round(
+                    training.cosine_expr(F.col("va"), F.col("vb")), nd))
+                .where(F.col("cos") >= cos_min)
+                .select("a", "b", "cos"))
+
+    for cos_min, block_col, nd in [(0.35, "label", 4), (0.6, None, 6)]:
+        want = {(r["a"], r["b"], r["cos"]) for r in
+                old_formulation(emb, cos_min, block_col, nd).collect()}
+        got = {(r["a"], r["b"], r["cos"]) for r in
+               training.embedding_near_dups(
+                   emb, cos_min=cos_min, block_col=block_col,
+                   cos_round=nd).collect()}
+        assert got == want, (cos_min, block_col, len(got), len(want))
+        assert len(want) > 0, "fixture produced no pairs — test is vacuous"
+    emb.unpersist()
