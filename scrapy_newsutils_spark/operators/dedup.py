@@ -616,12 +616,17 @@ class FilterStore:
             os.path.join(self.path, n) for n in os.listdir(self.path)
             if n.startswith(pre) and n.endswith(".npy"))
 
-    def save_key_segment(self, bv: int, seq: int, arr: "np.ndarray") -> None:
+    def save_key_segment(self, bv: int, seq: int, arr: "np.ndarray",
+                         presorted: bool = False) -> None:
         """Write one sorted-unique key segment (tmp+rename). A same-(bv,
-        seq) replay overwrites with identical content — idempotent."""
+        seq) replay overwrites with identical content — idempotent.
+        ``presorted=True`` (the compaction call, whose input is
+        merge_sorted_unique output) skips the np.unique re-sort+copy, so
+        compaction peaks at ~1× merged bytes as documented (ADVICE r5)."""
         path = self._seg_path(bv, seq)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}.npy"
-        np.save(tmp, np.unique(np.asarray(arr, dtype=np.int64)))
+        a = np.asarray(arr, dtype=np.int64)
+        np.save(tmp, a if presorted else np.unique(a))
         os.replace(tmp, path)
 
     def contains_exact(self, bv: int, keys: "np.ndarray") -> "np.ndarray":
@@ -660,7 +665,7 @@ class FilterStore:
             merged = merge_sorted_unique([np.load(p, mmap_mode="r")
                                           for p in old])
             max_seq = max(int(p.rsplit("keys-", 1)[1][:-4]) for p in old)
-            self.save_key_segment(bv, max_seq, merged)
+            self.save_key_segment(bv, max_seq, merged, presorted=True)
             for p in old:
                 if p != self._seg_path(bv, max_seq):
                     os.remove(p)
@@ -692,16 +697,60 @@ class FilterStore:
                     or name == "filter_meta.json":
                 os.remove(os.path.join(self.path, name))
 
-    def save_meta(self, pf: PartitionedFilter) -> None:
-        with open(self._meta_path(), "w") as fh:
-            json.dump({"buckets": pf.buckets, "kind": pf.kind,
-                       "exact_keys": bool(getattr(pf, "exact_keys", False)),
-                       "inserted": {str(b): n for b, n in pf.inserted.items()},
-                       "capacity": {str(b): n for b, n in pf.capacity.items()}}, fh)
+    def save_meta(self, pf: PartitionedFilter,
+                  source_version: int | None = None) -> None:
+        meta = {"buckets": pf.buckets, "kind": pf.kind,
+                "exact_keys": bool(getattr(pf, "exact_keys", False)),
+                "inserted": {str(b): n for b, n in pf.inserted.items()},
+                "capacity": {str(b): n for b, n in pf.capacity.items()}}
+        if source_version is not None:
+            meta["source_version"] = int(source_version)
+        tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path())
 
     def meta(self) -> dict:
         with open(self._meta_path()) as fh:
             return json.load(fh)
+
+    # -- clean-resume reload (VERDICT r5 #2) ----------------------------------
+    def stamp_source(self, version: int | None) -> None:
+        """Record (or clear, with None) the source-table version this
+        store's contents reflect. A resumed engine reloads the store when
+        the stamp equals the table's current version instead of paying the
+        O(table) clear+rebuild scan every process start."""
+        if not os.path.exists(self._meta_path()):
+            return
+        m = self.meta()
+        if version is None:
+            m.pop("source_version", None)
+        else:
+            m["source_version"] = int(version)
+        tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, self._meta_path())
+
+    def source_version(self) -> int | None:
+        if not os.path.exists(self._meta_path()):
+            return None
+        v = self.meta().get("source_version")
+        return None if v is None else int(v)
+
+    def load_meta_only(self, cap_per_bucket: int,
+                       fpp: float = 0.01) -> PartitionedFilter:
+        """Metadata-only PartitionedFilter over this store's persisted
+        buckets (the ``collect_to_driver=False`` shape build_partitioned
+        returns): probes go through the bucket files, the driver holds only
+        counters. Used by the clean-resume reload path."""
+        m = self.meta()
+        pf = PartitionedFilter(m["buckets"], kind=m["kind"],
+                               cap_per_bucket=cap_per_bucket, fpp=fpp)
+        pf.exact_keys = bool(m.get("exact_keys"))
+        pf.inserted = {int(b): int(n) for b, n in m.get("inserted", {}).items()}
+        pf.capacity = {int(b): int(n) for b, n in m.get("capacity", {}).items()}
+        return pf
 
     @staticmethod
     def load_bucket(path: str, bv: int):
@@ -790,12 +839,16 @@ def tag_by_filter_store(spark: SparkSession, batch: DataFrame,
     # buckets) must not force fewer tasks than cores — P=5 buckets on 4
     # cores ran a straggler wave at parallelism 2.1 in the round-4 stage
     # audit. The count is a MULTIPLE of P (round ceil(2·cores/P) up, capped
-    # at 4096): pmod(key, m·P) ≡ pmod(key, P) (mod P), so each partition's
-    # keys land in exactly ONE bucket and each task loads one filter file.
-    # The round-4 `max(P, 2*par)` could be misaligned (P=100, 64 cores →
+    # at 4096): pmod(key, m·P) ≡ pmod(key, P) (mod P), so every key within
+    # one RESIDUE belongs to one bucket — but repartition HASH-partitions
+    # the residue value, so distinct residues can still collide into one
+    # task (expected ~1 bucket/task, Poisson-distributed — ADVICE r5; a
+    # strict one-bucket-per-task bound would need repartitionByRange). The
+    # round-4 `max(P, 2*par)` could be misaligned (P=100, 64 cores →
     # n_parts=128 → 25 buckets/task, each np.load'ing 25 full filters —
     # ADVICE r4). Any count is CORRECT (gen groups keys by bucket); the
-    # alignment only bounds per-task loads. P > 4096 degenerates to P.
+    # alignment only bounds the EXPECTED per-task loads. P > 4096
+    # degenerates to P.
     par = spark.sparkContext.defaultParallelism
     mult = -(-2 * par // P)  # ceil(2·par / P)
     n_parts = P * min(max(mult, 1), max(4096 // P, 1))
@@ -866,13 +919,22 @@ def store_apply_keys(spark: SparkSession, keys_df: DataFrame,
             f = FilterStore.load_bucket(s_path, bv)
             failed = 0
             if m_mode == "delete":
-                if isinstance(f, PyCuckoo):
+                if m_seq is not None:
+                    # deleting a key a cuckoo filter never held can evict
+                    # ANOTHER key's (bucket, fingerprint) entry — a false
+                    # negative for a still-present key. The exact segments
+                    # are the record of what was inserted: restrict the
+                    # delete to segment-present keys (r6; callers may pass
+                    # supersets, e.g. TTL-expired keys some of which never
+                    # entered this store).
+                    arr = arr[st.contains_exact(bv, arr)]
+                if len(arr) and isinstance(f, PyCuckoo):
                     f.delete_many(arr)
                     st.save_bucket_raw(bv, "cuckoo", f)
                 # Bloom buckets can't delete — owner rebuilds instead
                 # (the EXACT segments always can, and must, so a Bloom
                 # store stays exact even while its filter over-approximates)
-                if m_seq is not None:
+                if m_seq is not None and len(arr):
                     st.apply_key_segment(bv, m_seq, arr, mode="delete")
             else:
                 if f is None:

@@ -1179,7 +1179,13 @@ def q_stream_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, drop_dir, os.path.join(root, "state"), payloads, robots,
             posts_t, dates, src, checkpoint=os.path.join(root, "ckpt"),
             available_now=True)
-        q.awaitTermination(timeout=600)
+        if not q.awaitTermination(timeout=600):
+            # ADVICE r5: a still-running query must not fall through to the
+            # finally-block cleanup — the aggregate would read a partially
+            # committed posts table and surface as an oracle mismatch
+            # instead of the real timeout.
+            q.stop()
+            raise TimeoutError("stream_compose: query still running at 600 s")
         agg = (
             posts_t.read(spark)
             .groupBy(F.to_date("publish_time").alias("day"))

@@ -276,11 +276,19 @@ class SnapshotTable:
 
     def commit_prepared_delete(self, data_dir: str, key_cols: list[str],
                                meta: dict | None = None,
-                               expected_version: int | None = None) -> int:
+                               expected_version: int | None = None,
+                               warm: bool = False) -> int:
         """Commit a delta previously written by ``prepare_delete`` (metadata
-        only — no Spark job)."""
+        only — no Spark job). ``warm=True`` marks a plan-shape warm-up delta
+        (empty key set committed at bootstrap so every read takes the MoR
+        anti-join plan from epoch 1): it participates in reads like any
+        delta but does not count toward the compaction trigger
+        (``n_delete_deltas``)."""
         m = self.manifest()
-        dels = m.get("deletes", []) + [{"dir": data_dir, "keys": key_cols}]
+        entry = {"dir": data_dir, "keys": key_cols}
+        if warm:
+            entry["warm"] = True
+        dels = m.get("deletes", []) + [entry]
         if any(e["keys"] != key_cols for e in dels):
             raise ValueError("all delete deltas of a table must share key_cols")
         return self._commit_manifest(m["dirs"], meta or {}, expected_version,
@@ -292,7 +300,8 @@ class SnapshotTable:
         return self.overwrite(self.read(spark), meta, expected_version)
 
     def n_delete_deltas(self) -> int:
-        return len(self.manifest().get("deletes", []))
+        return len([d for d in self.manifest().get("deletes", [])
+                    if not d.get("warm")])
 
     def merge_upsert(
         self,
