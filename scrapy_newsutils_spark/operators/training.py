@@ -336,9 +336,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         return self_e.unionAll(nbr_e).distinct()
 
     E = E.localCheckpoint(eager=True)
-    if local_max_edges > 0 and E.count() <= local_max_edges:
-        rows = [(r["u"], r["v"]) for r in E.collect()]
-        return _local_components(pairs.sparkSession, rows)
+    if local_max_edges > 0:
+        # one job decides AND fetches: ≤ local_max_edges rows collect, one
+        # extra row proves the graph is over the gate (no separate count)
+        head = E.limit(local_max_edges + 1).collect()
+        if len(head) <= local_max_edges:
+            return _local_components(pairs.sparkSession,
+                                     [(r["u"], r["v"]) for r in head])
     sig = _sig(E)
     for _ in range(max_iter):
         E = small_star(large_star(E)).localCheckpoint(eager=True)

@@ -238,9 +238,19 @@ def q_crawl_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = 400
     src = "https://news.example.com"
-    pages = fixtures.html_pages_from_docs(_docs(spark, sf_dir), m, src)
+    # repartition before the Python parse stage: the pruned scan yields ~2
+    # partitions, which serialized the mapInPandas parse onto 2 cores
+    # (guide §2.5 input skew); round-robin spread costs one tiny shuffle of
+    # (url, html) rows. localCheckpoint (eager) materializes posts ONCE —
+    # with plain .cache() the classify join's two sides raced the first
+    # fill and each recomputed the whole parse stage (2× 2.1 s of the
+    # query's 4.5 s in the r6 stage audit).
+    par = spark.sparkContext.defaultParallelism
+    pages = fixtures.html_pages_from_docs(_docs(spark, sf_dir), m, src) \
+        .repartition(par)
     parsed = parse_ops.parse_pages(pages, post_sections={"default": "story"})
-    posts = parse_ops.posts_from_parsed(parsed, src).cache()
+    posts = parse_ops.posts_from_parsed(parsed, src) \
+        .localCheckpoint(eager=True)
 
     sl_id = F.regexp_extract("short_link", r"(\d+)", 1).cast("long")
     existing = (

@@ -782,6 +782,15 @@ class CrawlEngine:
         if self._discovery_on():
             tasks["discovery"] = _commit_discovery
             if self._frontier_filter_on():
+                if self._frontier_filter is None:
+                    # clean-resume reload (VERDICT r5 #2) — must happen
+                    # BEFORE this epoch's stamp-clear below: a cleanly
+                    # closed store carries the stamp of the frontier
+                    # version this epoch starts from.
+                    pf = self._reload_store(self._frontier_filter_dir(),
+                                            frontier_v)
+                    if pf is not None and not pf.overfilled():
+                        self._frontier_filter = pf
                 # the epoch's sidecar mutations (discovery adds; cuckoo
                 # pop-deletes below) make the store transiently inconsistent
                 # with every committed frontier version — clear the resume
