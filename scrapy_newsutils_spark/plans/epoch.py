@@ -701,12 +701,22 @@ class CrawlEngine:
                 cand, _ = dedup.split_by_filter_store(
                     spark, cand, self._filter_store_dir(), exact=True)
             else:
-                # small-scale convenience modes keep the plain anti-joins
-                out = out.cache()
-                disco_cache = out
-                known = frontier.select("url_key")
-                cand = out.join(known, "url_key", "left_anti")
-                in_frontier = out.join(known, "url_key", "left_semi")
+                # small-scale convenience modes: ONE left join against the
+                # frontier key set, cached, feeds both branches — the r5
+                # anti-join + semi-join pair executed the frontier key
+                # shuffle twice per epoch (two separate actions: frontier
+                # append and cash append; exchange reuse does not span
+                # jobs). url_key is unique in the frontier by construction
+                # (bootstrap fixtures + groupBy'd additions + pop deletes),
+                # so the left join cannot fan out.
+                known = frontier.select(
+                    "url_key", F.lit(True).alias("_in_frontier"))
+                tagged_bc = out.join(known, "url_key", "left").cache()
+                disco_cache = tagged_bc
+                cand = (tagged_bc.where(F.col("_in_frontier").isNull())
+                        .drop("_in_frontier"))
+                in_frontier = (tagged_bc.where(F.col("_in_frontier"))
+                               .drop("_in_frontier"))
                 cand = cand.join(
                     self.url_seen_t.read(spark).select("url_key"),
                     "url_key", "left_anti")
