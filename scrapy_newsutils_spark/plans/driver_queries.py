@@ -249,8 +249,17 @@ def q_crawl_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = fixtures.html_pages_from_docs(_docs(spark, sf_dir), m, src) \
         .repartition(par)
     parsed = parse_ops.parse_pages(pages, post_sections={"default": "story"})
-    posts = parse_ops.posts_from_parsed(parsed, src) \
-        .localCheckpoint(eager=True)
+    # project to the columns this composition actually consumes (guide
+    # §2.3 — the checkpoint/classify/agg chain was carrying all 25 POSTS
+    # columns): key + route/agg fields + the two mutated fields. The
+    # classification result is unchanged — classify_edits compares
+    # batch.columns − excluded, and every dropped column derives
+    # IDENTICALLY on both join sides (only text/top_image are mutated in
+    # `existing`), so its equality term was constant-true. Oracle-verified.
+    posts = parse_ops.posts_from_parsed(parsed, src).select(
+        "short_link", "post_id", "version", "text", "top_image",
+        "publish_time", "images", "authors",
+    ).localCheckpoint(eager=True)
 
     sl_id = F.regexp_extract("short_link", r"(\d+)", 1).cast("long")
     existing = (
